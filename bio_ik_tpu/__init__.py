@@ -1,0 +1,20 @@
+"""bio_ik_tpu — TPU-native generalized inverse kinematics.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+TAMS-Group/bio_ik (memetic-evolutionary IK with ~20 weighted goal types),
+re-designed TPU-first: batched frame algebra, trace-time-specialized FK,
+a matmul-shaped tip-frame linearizer, fully on-device population solvers,
+and island/scenario parallelism over device meshes.
+"""
+
+from .robot import RobotModel, load_urdf, parse_urdf  # noqa: F401
+from .math import Frame  # noqa: F401
+
+__version__ = "0.1.0"
+
+
+def asset_path(name: str) -> str:
+    """Path to a bundled test/benchmark URDF (pr2_arm, ur5, snake, ...)."""
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "assets", name)

@@ -1,0 +1,297 @@
+"""Compile a parsed URDF into an array-resident robot model.
+
+Replaces the reference's MoveIt ``RobotModel`` + ``RobotInfo``
+(reference: include/bio_ik/robot_info.h:46-125) with plain numpy arrays for
+the static kinematic structure (used at trace time to build FK programs)
+plus jnp device constants for per-variable bounds used inside jitted
+solvers.
+
+Layout decisions (TPU-first):
+  * links are re-indexed topologically: ``parent[i] < i`` for every non-root
+    link, so FK is a single forward pass over link index.
+  * each link owns exactly its parent joint's data (type, origin, axis,
+    variable span) — there is no separate joint table.
+  * variables follow MoveIt's convention: one per 1-DOF joint, 7 for
+    floating (x y z qx qy qz qw), 3 for planar (x y θ); mimic joints have
+    variables that are overwritten from their source before FK.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .urdf import FIXED, FLOATING, PLANAR, PRISMATIC, REVOLUTE, UrdfRobot, load_urdf, parse_urdf
+
+__all__ = ["RobotModel", "VariableBounds"]
+
+_TWO_PI = 2.0 * math.pi
+
+
+def _rpy_to_quat(r, p, y):
+    """xyzw quaternion from URDF fixed-axis rpy (host-side, float64)."""
+    hr, hp, hy = 0.5 * r, 0.5 * p, 0.5 * y
+    sr, cr = math.sin(hr), math.cos(hr)
+    sp, cp = math.sin(hp), math.cos(hp)
+    sy, cy = math.sin(hy), math.cos(hy)
+    return np.array(
+        [
+            sr * cp * cy - cr * sp * sy,
+            cr * sp * cy + sr * cp * sy,
+            cr * cp * sy - sr * sp * cy,
+            cr * cp * cy + sr * sp * sy,
+        ],
+        dtype=np.float64,
+    )
+
+
+@dataclass
+class VariableBounds:
+    """Device-resident per-variable bounds (reference: robot_info.h:46-125)."""
+
+    min: jnp.ndarray        # (V,) lower position bound (finite; ±π for continuous)
+    max: jnp.ndarray        # (V,) upper position bound
+    clip_min: jnp.ndarray   # (V,) clamp bound; ±inf when position-unbounded
+    clip_max: jnp.ndarray   # (V,)
+    span: jnp.ndarray       # (V,) max−min, sanitized to 1 if non-finite
+    max_velocity: jnp.ndarray      # (V,)
+    max_velocity_rcp: jnp.ndarray  # (V,) 1/max_velocity or 0
+
+    def clip(self, q):
+        return jnp.clip(q, self.clip_min, self.clip_max)
+
+
+class RobotModel:
+    """Static kinematic structure + bounds compiled from a URDF."""
+
+    def __init__(self, urdf: UrdfRobot, dtype=np.float32):
+        self.name = urdf.name
+        self.dtype = dtype
+
+        # ---- topological re-indexing (root = link 0) --------------------
+        joint_by_child: Dict[str, int] = {}
+        children: Dict[str, List[str]] = {name: [] for name in urdf.links}
+        for ji, j in enumerate(urdf.joints):
+            if j.child in joint_by_child:
+                raise ValueError(f"link {j.child} has multiple parent joints")
+            joint_by_child[j.child] = ji
+            children[j.parent].append(j.child)
+
+        root = urdf.root_link
+        order: List[str] = []
+        stack = [root]
+        while stack:
+            name = stack.pop()
+            order.append(name)
+            # reversed → children visited in document order
+            stack.extend(reversed(children[name]))
+        if len(order) != len(urdf.links):
+            raise ValueError("URDF link graph is not a connected tree")
+
+        self.link_names: List[str] = order
+        self.link_index: Dict[str, int] = {n: i for i, n in enumerate(order)}
+        L = len(order)
+
+        # ---- per-link joint arrays --------------------------------------
+        self.parent = np.full(L, -1, dtype=np.int64)
+        self.jtype = np.zeros(L, dtype=np.int64)          # FIXED for root
+        self.origin_pos = np.zeros((L, 3), dtype=np.float64)
+        self.origin_quat = np.tile(np.array([0.0, 0.0, 0.0, 1.0]), (L, 1))
+        self.axis = np.tile(np.array([1.0, 0.0, 0.0]), (L, 1))
+        self.vstart = np.full(L, -1, dtype=np.int64)
+        self.vcount = np.zeros(L, dtype=np.int64)
+        self.joint_names: List[Optional[str]] = [None] * L
+        self.joint_index: Dict[str, int] = {}             # joint name → link idx
+        self.masses = np.zeros(L, dtype=np.float64)
+        self.coms = np.zeros((L, 3), dtype=np.float64)
+
+        for name in order:
+            li = self.link_index[name]
+            link = urdf.links[name]
+            self.masses[li] = link.mass
+            self.coms[li] = link.com
+
+        # ---- variable allocation (topological joint order) --------------
+        var_names: List[str] = []
+        var_link: List[int] = []       # owning link (child of the joint)
+        v_min: List[float] = []
+        v_max: List[float] = []
+        v_bounded: List[bool] = []
+        v_vel: List[float] = []
+        v_revolute: List[bool] = []
+        v_prismatic: List[bool] = []
+
+        def add_var(name, lo, hi, bounded, vel, rev=False, prism=False):
+            var_names.append(name)
+            var_link.append(li)
+            v_min.append(lo)
+            v_max.append(hi)
+            v_bounded.append(bounded)
+            v_vel.append(vel)
+            v_revolute.append(rev)
+            v_prismatic.append(prism)
+
+        mimic_pairs: List[Tuple[int, str, float, float]] = []  # (var, src joint, mult, off)
+
+        for name in order[1:]:
+            ji = joint_by_child[name]
+            j = urdf.joints[ji]
+            li = self.link_index[name]
+            self.parent[li] = self.link_index[j.parent]
+            self.jtype[li] = j.type
+            self.origin_pos[li] = j.origin_xyz
+            self.origin_quat[li] = _rpy_to_quat(*j.origin_rpy)
+            self.axis[li] = j.axis
+            self.joint_names[li] = j.name
+            self.joint_index[j.name] = li
+            self.vstart[li] = len(var_names)
+
+            if j.type == REVOLUTE:
+                # continuous = revolute with span ≥ 2π → position-unbounded
+                # (reference: robot_info.h:82-90)
+                bounded = not (j.continuous or (j.upper - j.lower) >= _TWO_PI * 0.9999)
+                add_var(j.name, j.lower, j.upper, bounded, j.velocity, rev=True)
+            elif j.type == PRISMATIC:
+                add_var(j.name, j.lower, j.upper, True, j.velocity, prism=True)
+            elif j.type == FLOATING:
+                for sfx in ("x", "y", "z"):
+                    add_var(f"{j.name}/trans_{sfx}", -1.0, 1.0, False, j.velocity)
+                for sfx in ("x", "y", "z", "w"):
+                    add_var(f"{j.name}/rot_{sfx}", -1.0, 1.0, False, j.velocity)
+            elif j.type == PLANAR:
+                add_var(f"{j.name}/x", -1.0, 1.0, False, j.velocity)
+                add_var(f"{j.name}/y", -1.0, 1.0, False, j.velocity)
+                add_var(f"{j.name}/theta", -math.pi, math.pi, False, j.velocity)
+            elif j.type == FIXED:
+                self.vstart[li] = -1
+            self.vcount[li] = len(var_names) - max(self.vstart[li], 0) if self.vstart[li] >= 0 else 0
+
+            if j.mimic_joint is not None:
+                if j.type not in (REVOLUTE, PRISMATIC):
+                    raise ValueError(f"mimic only supported on 1-DOF joints ({j.name})")
+                mimic_pairs.append((self.vstart[li], j.mimic_joint, j.mimic_multiplier, j.mimic_offset))
+
+        self.var_names = var_names
+        self.var_index: Dict[str, int] = {n: i for i, n in enumerate(var_names)}
+        self.var_link = np.asarray(var_link, dtype=np.int64)
+        V = len(var_names)
+
+        # ---- mimic propagation table ------------------------------------
+        self.mimic_src = np.full(V, -1, dtype=np.int64)
+        self.mimic_factor = np.zeros(V, dtype=np.float64)
+        self.mimic_offset = np.zeros(V, dtype=np.float64)
+        self.mimic_vars: List[int] = []
+        for var, src_joint, mult, off in mimic_pairs:
+            src_li = self.joint_index.get(src_joint)
+            if src_li is None:
+                raise ValueError(f"mimic source joint {src_joint!r} not found")
+            src_var = int(self.vstart[src_li])
+            if self.mimic_src[src_var] >= 0:
+                raise ValueError("chained mimic joints are not supported")
+            self.mimic_src[var] = src_var
+            self.mimic_factor[var] = mult
+            self.mimic_offset[var] = off
+            self.mimic_vars.append(var)
+
+        # ---- bounds (reference: robot_info.h ctor) ----------------------
+        mn = np.asarray(v_min, dtype=np.float64)
+        mx = np.asarray(v_max, dtype=np.float64)
+        bounded = np.asarray(v_bounded, dtype=bool)
+        span = mx - mn
+        span = np.where(np.isfinite(span) & (span >= 0), span, 1.0)
+        vel = np.asarray(v_vel, dtype=np.float64)
+        inf = np.inf
+        self._np_bounds = dict(
+            min=mn, max=mx,
+            clip_min=np.where(bounded, mn, -inf),
+            clip_max=np.where(bounded, mx, +inf),
+            span=span,
+            max_velocity=vel,
+            max_velocity_rcp=np.where(vel > 0, 1.0 / np.maximum(vel, 1e-300), 0.0),
+        )
+        self.var_is_revolute = np.asarray(v_revolute, dtype=bool)
+        self.var_is_prismatic = np.asarray(v_prismatic, dtype=bool)
+
+        self.bounds = VariableBounds(
+            **{k: jnp.asarray(v, dtype=dtype) for k, v in self._np_bounds.items()}
+        )
+
+    # -------------------------------------------------------------- API --
+    @classmethod
+    def from_urdf_file(cls, path: str, dtype=np.float32) -> "RobotModel":
+        return cls(load_urdf(path), dtype=dtype)
+
+    @classmethod
+    def from_urdf_string(cls, xml_text: str, dtype=np.float32) -> "RobotModel":
+        return cls(parse_urdf(xml_text), dtype=dtype)
+
+    @property
+    def nlinks(self) -> int:
+        return len(self.link_names)
+
+    @property
+    def nvars(self) -> int:
+        return len(self.var_names)
+
+    def ancestors(self, link_idx: int) -> List[int]:
+        """Root→link chain of link indices (inclusive)."""
+        chain = []
+        li = link_idx
+        while li >= 0:
+            chain.append(li)
+            li = int(self.parent[li])
+        return chain[::-1]
+
+    def link_schedule(self, tip_link_indices: Sequence[int]) -> List[int]:
+        """Deduped topologically-ordered links needed to pose the tips.
+
+        Reference analog: RobotFK_Fast_Base link_schedule
+        (forward_kinematics.h:268-282).
+        """
+        needed = set()
+        for t in tip_link_indices:
+            needed.update(self.ancestors(t))
+        return sorted(needed)
+
+    def actuated_variables(self, exclude_fixed_joints: Sequence[str] = ()) -> List[int]:
+        """Variables of non-fixed, non-mimic joints, minus excluded joints.
+
+        Reference analog: active-variable discovery, problem.cpp:186-204.
+        """
+        excluded = set(exclude_fixed_joints)
+        out = []
+        for li in range(1, self.nlinks):
+            if self.jtype[li] == FIXED or self.joint_names[li] in excluded:
+                continue
+            if self.vstart[li] >= 0 and self.mimic_src[self.vstart[li]] < 0:
+                out.extend(range(int(self.vstart[li]), int(self.vstart[li] + self.vcount[li])))
+        return out
+
+    def apply_mimic(self, q):
+        """Propagate mimic sources: ``q[m] = q[src]·factor + offset``.
+
+        Vectorized gather-scale-add (reference analog:
+        forward_kinematics.h:230-246).  No-op when there are no mimic joints.
+        """
+        if not self.mimic_vars:
+            return q
+        src = jnp.asarray(np.maximum(self.mimic_src, 0))
+        is_mimic = jnp.asarray(self.mimic_src >= 0)
+        factor = jnp.asarray(self.mimic_factor, dtype=q.dtype)
+        offset = jnp.asarray(self.mimic_offset, dtype=q.dtype)
+        return jnp.where(is_mimic, q[..., src] * factor + offset, q)
+
+    def neutral_q(self, dtype=None) -> np.ndarray:
+        """Mid-range configuration (host-side numpy)."""
+        b = self._np_bounds
+        q = 0.5 * (b["min"] + b["max"])
+        # floating-joint quaternion w defaults to 1
+        for li in range(self.nlinks):
+            if self.jtype[li] == FLOATING:
+                q[self.vstart[li] + 3 : self.vstart[li] + 6] = 0.0
+                q[self.vstart[li] + 6] = 1.0
+        return q.astype(dtype or self.dtype)

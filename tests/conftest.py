@@ -1,0 +1,25 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+The environment pins ``JAX_PLATFORMS=axon`` (a tunneled single TPU chip)
+via sitecustomize, so plain env vars are not enough — we must override the
+config after importing jax but before any backend is instantiated.
+Multi-chip sharding tests then run on the 8 virtual CPU devices.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)

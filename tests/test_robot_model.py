@@ -1,0 +1,82 @@
+"""URDF parsing + robot model compilation tests."""
+
+import numpy as np
+import pytest
+
+from bio_ik_tpu import RobotModel, asset_path, parse_urdf
+from bio_ik_tpu.robot.urdf import FIXED, REVOLUTE
+
+MIMIC_URDF = """
+<robot name="gripper">
+  <link name="base"/><link name="f1"/><link name="f2"/>
+  <joint name="drive" type="revolute">
+    <parent link="base"/><child link="f1"/>
+    <axis xyz="0 0 1"/><limit lower="0" upper="1" velocity="1"/>
+  </joint>
+  <joint name="follower" type="revolute">
+    <parent link="base"/><child link="f2"/>
+    <axis xyz="0 0 1"/><limit lower="0" upper="2" velocity="1"/>
+    <mimic joint="drive" multiplier="2.0" offset="0.1"/>
+  </joint>
+</robot>
+"""
+
+
+def test_pr2_arm_model():
+    m = RobotModel.from_urdf_file(asset_path("pr2_arm.urdf"))
+    assert m.nvars == 7
+    assert m.link_names[0] == "torso_lift_link"
+    assert all(m.parent[i] < i for i in range(1, m.nlinks))
+    # continuous joints → unbounded clip, ±π min/max
+    # (reference semantics: robot_info.h:82-90)
+    i = m.var_index["r_forearm_roll_joint"]
+    b = m._np_bounds
+    assert b["clip_min"][i] == -np.inf and b["clip_max"][i] == np.inf
+    np.testing.assert_allclose(b["min"][i], -np.pi)
+    np.testing.assert_allclose(b["span"][i], 2 * np.pi)
+    # bounded joint → clip == limits
+    j = m.var_index["r_elbow_flex_joint"]
+    assert b["clip_min"][j] == -2.3213 and b["clip_max"][j] == 0.0
+    # velocity reciprocal
+    np.testing.assert_allclose(b["max_velocity_rcp"][j], 1.0 / 3.3, rtol=1e-6)
+
+
+def test_ur5_unbounded_revolutes():
+    m = RobotModel.from_urdf_file(asset_path("ur5.urdf"))
+    assert m.nvars == 6
+    b = m._np_bounds
+    # ±2π limits span > 2π ⇒ treated as position-unbounded; the elbow's ±π
+    # limits give span exactly 2π ≥ 2π·0.9999, so it is unbounded as well
+    # (reference rule: robot_info.h:82-90)
+    assert np.all(np.isinf(b["clip_min"]))
+    np.testing.assert_allclose(b["span"][m.var_index["elbow_joint"]], 2 * np.pi)
+
+
+def test_snake_model():
+    m = RobotModel.from_urdf_file(asset_path("snake.urdf"))
+    assert m.nvars == 32
+    assert len(m.actuated_variables()) == 32
+
+
+def test_mimic():
+    import jax.numpy as jnp
+
+    m = RobotModel.from_urdf_string(MIMIC_URDF)
+    assert m.nvars == 2
+    # active variables exclude the mimic follower
+    assert m.actuated_variables() == [m.var_index["drive"]]
+    q = jnp.asarray([0.5, 0.0])
+    q2 = np.asarray(m.apply_mimic(q))
+    np.testing.assert_allclose(q2[m.var_index["follower"]], 0.5 * 2.0 + 0.1, rtol=1e-6)
+
+
+def test_fixed_joints_excluded():
+    m = RobotModel.from_urdf_file(asset_path("pr2_arm.urdf"))
+    av = m.actuated_variables(exclude_fixed_joints=["r_wrist_roll_joint"])
+    assert len(av) == 6
+    assert m.var_index["r_wrist_roll_joint"] not in av
+
+
+def test_bad_urdf_errors():
+    with pytest.raises(ValueError):
+        parse_urdf("<robot name='x'><link name='a'/><link name='b'/></robot>").root_link
