@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark: scenario-batched IK solves/sec on the PR2 7-DOF pose problem.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Configuration mirrors BASELINE.json's headline config: bio2_memetic,
+PR2-like right arm (7 DOF), single 6-DOF PoseGoal, 1 mm tolerance
+(dtwist = 1e-3: every twist component ≤ 1 mm / 1 mrad — the reference's
+acceptance semantics, problem.cpp:276-322).  Targets are reachable by
+construction (FK of random valid configurations — the reference's
+FK-IK-FK harness, README.md:404-447).
+
+``vs_baseline`` is measured against ~1,000 solves/sec — the reference's
+single-CPU throughput at its recommended 1 ms timeout (BASELINE.md:
+"a CPU core solves ~1k queries/sec when most succeed early").
+
+The metric counts only SUCCESSFUL solves (throughput × success rate).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REFERENCE_SOLVES_PER_SEC = 1000.0
+
+
+def run_bench():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bio_ik_tpu.goals as G
+    from bio_ik_tpu import RobotModel, asset_path
+    from bio_ik_tpu.api import IKSolver
+    from bio_ik_tpu.config import SolverConfig
+    from bio_ik_tpu.kinematics import make_fk
+
+    B = int(os.environ.get("BENCH_BATCH", "1024"))
+    steps = int(os.environ.get("BENCH_STEPS", "16"))
+
+    m = RobotModel.from_urdf_file(asset_path("pr2_arm.urdf"))
+    tip = "r_gripper_tool_frame"
+    fk = jax.jit(make_fk(m, [tip]))
+    rng = np.random.default_rng(0)
+    b = m._np_bounds
+    qg = rng.uniform(b["min"], b["max"], size=(B, m.nvars)).astype(np.float32)
+    tg = fk(jnp.asarray(qg))
+
+    cfg = SolverConfig(mode="bio2_memetic", max_steps=steps, dtwist=1e-3)
+    s = IKSolver(m, [G.PoseGoal(link=tip)], cfg)
+    data0 = s.make_data(jnp.asarray(m.neutral_q()))
+    data = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), data0)
+    data["primary"][0]["position"] = tg.pos
+    data["primary"][0]["orientation"] = tg.quat
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    res = s.solve_batch(keys, data)  # compile + warmup
+    res.q.block_until_ready()
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = s.solve_batch(keys, data)
+        res.q.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    success = float(np.asarray(res.success).mean())
+    t2 = fk(res.q)
+    perr = np.linalg.norm(np.asarray(t2.pos)[:, 0] - np.asarray(tg.pos)[:, 0], axis=-1)
+    solves_per_sec = B * success / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "IK solves/sec (PR2 7-DOF pose, 1mm tol, bio2_memetic)",
+                "value": round(solves_per_sec, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_sec / REFERENCE_SOLVES_PER_SEC, 3),
+                "success_rate": round(success, 4),
+                "batch": B,
+                "steps": steps,
+                "batch_time_ms": round(dt * 1e3, 2),
+                "median_pos_err_m": float(np.median(perr)),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+def main():
+    # The tunneled TPU claim is exclusive and occasionally fails to register
+    # if another process held it recently; retry a few times.
+    for attempt in range(5):
+        try:
+            run_bench()
+            return
+        except RuntimeError as e:
+            if "backend" in str(e).lower() and attempt < 4:
+                time.sleep(45)
+                continue
+            raise
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Solver configuration.
+
+TPU-native counterpart of the reference's ``IKParams``
+(reference: src/utils.h:64-85 populated in kinematics_plugin.cpp:243-267).
+A hashable frozen dataclass so it can serve as a jit static argument.
+
+Timeout semantics: the reference races wall-clock deadlines between solver
+steps (ik_parallel.h:160-168); a jitted device loop cannot observe clocks,
+so budgets are expressed in iterations (``max_steps``), optionally chunked
+(``steps_per_check``) for host-side convergence polling — the analog of
+the reference's 4-steps-then-check batching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+__all__ = ["SolverConfig", "DEFAULT_CONFIG"]
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    # solver selection (reference: `mode` param, default bio2_memetic)
+    mode: str = "bio2_memetic"
+    # island count: 0 ⇒ solver default (reference: `threads` param,
+    # ik_parallel.h:113-127; bio1/bio2 default 4)
+    islands: int = 0
+
+    # acceptance tolerances (reference: kinematics_plugin.cpp:259-261;
+    # dpos/drot default disabled, dtwist 1e-5)
+    dpos: float = float("inf")
+    drot: float = float("inf")   # degrees
+    dtwist: float = 1e-5
+
+    # evolution parameters (reference: ik_evolution_2.cpp:137-141, 349-351,
+    # 453; ik_evolution_1.cpp defaults via kinematics_plugin.cpp:265-266)
+    population_size: int = 8     # bio1 population
+    elite_count: int = 4         # bio1 elites
+    no_wipeout: bool = False
+    linear_fitness: bool = False
+
+    # iteration budget (replaces wall-clock timeout; see module docstring)
+    max_steps: int = 16
+    steps_per_check: int = 4     # reference: ik_parallel.h:165-168
+
+    # numerics
+    dtype: str = "float32"
+
+    # default-goal construction knobs (reference:
+    # kinematics_plugin.cpp:286-329)
+    rotation_scale: float = 0.5
+    position_only_ik: bool = False
+    center_joints_weight: float = 0.0
+    avoid_joint_limits_weight: float = 0.0
+    minimal_displacement_weight: float = 0.0
+
+    # PRNG
+    seed: int = 0
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = SolverConfig()
