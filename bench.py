@@ -41,8 +41,9 @@ def run_bench():
     from bio_ik_tpu.config import SolverConfig
     from bio_ik_tpu.kinematics import make_fk
 
-    B = int(os.environ.get("BENCH_BATCH", "1024"))
-    steps = int(os.environ.get("BENCH_STEPS", "16"))
+    from bio_ik_tpu.api import AdaptiveBatchSolver
+
+    B = int(os.environ.get("BENCH_BATCH", "4096"))
 
     m = RobotModel.from_urdf_file(asset_path("pr2_arm.urdf"))
     tip = "r_gripper_tool_frame"
@@ -52,8 +53,13 @@ def run_bench():
     qg = rng.uniform(b["min"], b["max"], size=(B, m.nvars)).astype(np.float32)
     tg = fk(jnp.asarray(qg))
 
-    cfg = SolverConfig(mode="bio2_memetic", max_steps=steps, dtwist=1e-3)
-    s = IKSolver(m, [G.PoseGoal(link=tip)], cfg)
+    # adaptive multi-phase batching: cheap pass over everything, then
+    # failure-compacted retries with bigger budgets (see api.py)
+    cfg = SolverConfig(mode="bio2_memetic", dtwist=1e-3)
+    s = AdaptiveBatchSolver(
+        m, [G.PoseGoal(link=tip)], cfg,
+        phases=((1, 8), (2, 32), (4, 64)), chunk_fraction=0.25,
+    )
     data0 = s.make_data(jnp.asarray(m.neutral_q()))
     data = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), data0)
     data["primary"][0]["position"] = tg.pos
@@ -85,7 +91,7 @@ def run_bench():
                 "vs_baseline": round(solves_per_sec / REFERENCE_SOLVES_PER_SEC, 3),
                 "success_rate": round(success, 4),
                 "batch": B,
-                "steps": steps,
+                "phases": "1x8,2x32,4x64 adaptive",
                 "batch_time_ms": round(dt * 1e3, 2),
                 "median_pos_err_m": float(np.median(perr)),
                 "device": str(jax.devices()[0]),

@@ -9,6 +9,10 @@ and island/scenario parallelism over device meshes.
 
 from .robot import RobotModel, load_urdf, parse_urdf  # noqa: F401
 from .math import Frame  # noqa: F401
+from .config import SolverConfig  # noqa: F401
+from .api import IKSolver, IKResult  # noqa: F401
+from .problem import Problem  # noqa: F401
+from . import goals  # noqa: F401
 
 __version__ = "0.1.0"
 

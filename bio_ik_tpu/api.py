@@ -31,7 +31,76 @@ from .problem import Problem
 from .robot.model import RobotModel
 from .solvers.base import SolverContext, make_solver
 
-__all__ = ["IKSolver", "IKResult"]
+__all__ = ["IKSolver", "IKResult", "AdaptiveBatchSolver"]
+
+
+class AdaptiveBatchSolver:
+    """Multi-phase scenario-batched solving with failure compaction.
+
+    Runs a cheap first pass over the whole batch, then gathers the failed
+    queries and re-solves only those with progressively larger island
+    counts / step budgets.  This recovers most of the reference's
+    early-exit economics (easy queries stop early, ik_parallel.h:160-190)
+    in a fixed-shape batched setting: each phase is one compiled program,
+    failures are compacted host-side into fixed-size retry chunks.
+
+    ``phases`` is a sequence of ``(islands, max_steps)``; the first phase
+    processes the full batch, later phases process failure chunks of size
+    ``batch × chunk_fraction`` (padded by repeating failures).
+    """
+
+    def __init__(self, model, goal_list, config=DEFAULT_CONFIG,
+                 phases=((1, 8), (2, 32), (4, 64)), chunk_fraction=0.25,
+                 **kwargs):
+        self.phases = phases
+        self.chunk_fraction = chunk_fraction
+        self.solvers = [
+            IKSolver(model, goal_list,
+                     config.replace(islands=i, max_steps=s), **kwargs)
+            for i, s in phases
+        ]
+
+    @property
+    def problem(self):
+        return self.solvers[0].problem
+
+    def make_data(self, q_seed_full):
+        return self.solvers[0].make_data(q_seed_full)
+
+    def solve_batch(self, keys, data) -> "IKResult":
+        import numpy as np
+
+        res = self.solvers[0].solve_batch(keys, data)
+        B = keys.shape[0]
+        chunk = max(1, int(B * self.chunk_fraction))
+        for phase_idx, solver in enumerate(self.solvers[1:], start=1):
+            fail = np.flatnonzero(~np.asarray(res.success))
+            if fail.size == 0:
+                break
+            for lo in range(0, fail.size, chunk):
+                idx = fail[lo : lo + chunk]
+                # pad the chunk to fixed size by repeating entries
+                pad = np.resize(idx, chunk)
+                sub_data = jax.tree.map(lambda x: x[pad], data)
+                sub_keys = jax.vmap(jax.random.fold_in, (0, None))(
+                    keys[pad], phase_idx
+                )
+                sub = solver.solve_batch(sub_keys, sub_data)
+                # scatter back entries that improved (success wins; ties by
+                # fitness — same ordering as the island winner selection)
+                take = np.asarray(sub.success)[: idx.size] | (
+                    np.asarray(sub.fitness)[: idx.size]
+                    < np.asarray(res.fitness)[idx]
+                )
+                upd = idx[take]
+                src = np.flatnonzero(take)
+                res = IKResult(
+                    q=res.q.at[upd].set(sub.q[src]),
+                    success=res.success.at[upd].set(sub.success[src]),
+                    fitness=res.fitness.at[upd].set(sub.fitness[src]),
+                    qa=res.qa.at[upd].set(sub.qa[src]),
+                )
+        return res
 
 
 class IKResult(NamedTuple):
@@ -74,65 +143,132 @@ class IKSolver:
         self._solve_batch_jit = jax.jit(self._solve_batch)
 
     # ------------------------------------------------------------------
+    @classmethod
+    def for_tips(
+        cls,
+        model: RobotModel,
+        tip_links: Sequence[str],
+        config: SolverConfig = DEFAULT_CONFIG,
+        **kwargs,
+    ) -> "IKSolver":
+        """Default-goal construction mirroring the reference plugin's
+        ``load()`` (kinematics_plugin.cpp:273-330): one PoseGoal per tip
+        with ``rotation_scale`` (0 when ``position_only_ik``), plus
+        optional CenterJoints / AvoidJointLimits / MinimalDisplacement
+        regularizers from the config weights."""
+        from .goals import (
+            AvoidJointLimitsGoal,
+            CenterJointsGoal,
+            MinimalDisplacementGoal,
+            PoseGoal,
+        )
+
+        rs = 0.0 if config.position_only_ik else config.rotation_scale
+        goals = [PoseGoal(link=t, rotation_scale=rs) for t in tip_links]
+        if config.center_joints_weight > 0:
+            goals.append(CenterJointsGoal(weight=config.center_joints_weight))
+        if config.avoid_joint_limits_weight > 0:
+            goals.append(AvoidJointLimitsGoal(weight=config.avoid_joint_limits_weight))
+        if config.minimal_displacement_weight > 0:
+            goals.append(
+                MinimalDisplacementGoal(weight=config.minimal_displacement_weight)
+            )
+        return cls(model, goals, config, **kwargs)
+
     def make_data(self, q_seed_full) -> Dict[str, Any]:
         return self.problem.make_data(q_seed_full)
 
-    def _solve(self, key, data) -> IKResult:
-        p, ctx, solver = self.problem, self.ctx, self.solver
-        I = self.islands
-        keys = jax.random.split(key, I)
-        randomize = jnp.arange(I) > 0  # island 0 starts from the seed
-
+    def _init_islands(self, key, data):
+        solver = self.solver
+        keys = jax.random.split(key, self.islands)
+        randomize = jnp.arange(self.islands) > 0  # island 0 starts from the seed
         state = jax.vmap(lambda k, r: solver.init(k, data, r))(keys, randomize)
+        return state, self._eval_islands(state, data)
 
-        def eval_islands(state):
-            """Winner among islands (reference: ik_parallel.h:220-261):
-            successes ranked by fitness (+ secondary fitness when secondary
-            goals exist), before failures ranked by primary fitness."""
-            qa, fit = jax.vmap(lambda s: solver.solution(s, data))(state)
-            tips = ctx.tips_frame(data["seed_full"], qa)
-            ok = p.check_solution(tips, qa, data)
-            fsec = p.fitness_secondary(qa, data)
-            rank_fit = fit + fsec if p.has_secondary else fit
-            any_ok = jnp.any(ok)
-            i = jnp.where(
-                any_ok,
-                jnp.argmin(jnp.where(ok, rank_fit, jnp.inf)),
-                jnp.argmin(fit),
-            )
-            # comparison key across iterations: successes compare by
-            # rank_fit, failures by primary fitness; success always beats
-            # failure (handled in `body`)
-            key = jnp.where(any_ok, rank_fit[i], fit[i])
-            return qa[i], fit[i], ok[i], key
+    def _eval_islands(self, state, data):
+        """Winner among islands (reference: ik_parallel.h:220-261):
+        successes ranked by fitness (+ secondary fitness when secondary
+        goals exist), before failures ranked by primary fitness."""
+        p, ctx, solver = self.problem, self.ctx, self.solver
+        qa, fit = jax.vmap(lambda s: solver.solution(s, data))(state)
+        tips = ctx.tips_frame(data["seed_full"], qa)
+        ok = p.check_solution(tips, qa, data)
+        fsec = p.fitness_secondary(qa, data)
+        rank_fit = fit + fsec if p.has_secondary else fit
+        any_ok = jnp.any(ok)
+        i = jnp.where(
+            any_ok,
+            jnp.argmin(jnp.where(ok, rank_fit, jnp.inf)),
+            jnp.argmin(fit),
+        )
+        # comparison key across iterations: successes compare by rank_fit,
+        # failures by primary fitness; success beats failure in _merge_best
+        key = jnp.where(any_ok, rank_fit[i], fit[i])
+        return qa[i], fit[i], ok[i], key
 
-        # batch solver steps between acceptance checks
-        # (reference: 4 steps per timeout/solution check, ik_parallel.h:165-168)
+    @staticmethod
+    def _merge_best(best, cand):
+        b_qa, b_fit, b_ok, b_key = best
+        qa, fit, ok, k = cand
+        take = (ok & ~b_ok) | ((ok == b_ok) & (k < b_key))
+        return (
+            jnp.where(take, qa, b_qa),
+            jnp.where(take, fit, b_fit),
+            jnp.where(take, ok, b_ok),
+            jnp.where(take, k, b_key),
+        )
+
+    def _chunk(self, state, best, data):
+        """steps_per_check solver steps then one acceptance evaluation
+        (reference: 4 steps per timeout/solution check, ik_parallel.h:165-168).
+        """
+        solver = self.solver
+        spc = max(1, min(self.config.steps_per_check, self.config.max_steps))
+        state = jax.lax.fori_loop(
+            0, spc, lambda _, s: jax.vmap(lambda x: solver.step(x, data))(s), state
+        )
+        best = self._merge_best(best, self._eval_islands(state, data))
+        return state, best
+
+    def _result(self, best, data) -> IKResult:
+        qa, fit, ok, _ = best
+        qa = self._rewrap(qa, data["seed_active"])
+        return IKResult(
+            q=self.ctx.qfull(data["seed_full"], qa), success=ok, fitness=fit, qa=qa
+        )
+
+    def _solve(self, key, data) -> IKResult:
         spc = max(1, min(self.config.steps_per_check, self.config.max_steps))
         nchecks = max(1, self.config.max_steps // spc)
+        state, best0 = self._init_islands(key, data)
 
         def body(carry, _):
             state, best = carry
-            state = jax.lax.fori_loop(
-                0, spc, lambda _, s: jax.vmap(lambda x: solver.step(x, data))(s), state
-            )
-            qa, fit, ok, k = eval_islands(state)
-            b_qa, b_fit, b_ok, b_key = best
-            take = (ok & ~b_ok) | ((ok == b_ok) & (k < b_key))
-            best = (
-                jnp.where(take, qa, b_qa),
-                jnp.where(take, fit, b_fit),
-                jnp.where(take, ok, b_ok),
-                jnp.where(take, k, b_key),
-            )
+            state, best = self._chunk(state, best, data)
             return (state, best), None
 
-        best0 = eval_islands(state)
         (state, best), _ = jax.lax.scan(body, (state, best0), None, length=nchecks)
-        qa, fit, ok, _ = best
-        return IKResult(
-            q=ctx.qfull(data["seed_full"], qa), success=ok, fitness=fit, qa=qa
-        )
+        return self._result(best, data)
+
+    def _rewrap(self, qa, seed_active):
+        """Shift revolute solution angles by 2π multiples toward the seed,
+        wrap into limits, clamp (reference: kinematics_plugin.cpp:580-613;
+        skipped when the robot has mimic joints, as in the reference)."""
+        if self.model.mimic_vars:
+            return qa
+        p = self.problem
+        av = np.asarray(p.active_vars)
+        rev = jnp.asarray(self.model.var_is_revolute[av])
+        two_pi = 2.0 * math.pi
+        r = seed_active
+        # nearest 2π-congruent value to the seed
+        v = qa - jnp.round((qa - r) / two_pi) * two_pi
+        # wrap into [min, max] by 2π steps, then clamp
+        hi, lo = p.amax, p.amin
+        v = v - jnp.ceil(jnp.maximum(0.0, v - hi) / two_pi) * two_pi
+        v = v + jnp.ceil(jnp.maximum(0.0, lo - v) / two_pi) * two_pi
+        v = jnp.clip(v, lo, hi)
+        return jnp.where(rev, v, qa)
 
     def _solve_batch(self, keys, data) -> IKResult:
         return jax.vmap(self._solve)(keys, data)
@@ -147,6 +283,32 @@ class IKSolver:
         if data is None:
             data = self.make_data(q_seed)
         return self._solve_jit(key, data)
+
+    def solve_until(self, q_seed, key=None, data=None) -> IKResult:
+        """Latency mode: host-polled early exit.  Runs
+        ``steps_per_check``-step chunks and stops as soon as the acceptance
+        test passes — the direct analog of the reference's wall-clock race
+        where the first accepted solution cancels the remaining work
+        (reference: ik_parallel.h:160-190).  Same result distribution as
+        :meth:`solve` for failed queries; successful queries return the
+        FIRST accepted winner rather than the best within the full budget.
+        """
+        if key is None:
+            key = jax.random.PRNGKey(self.config.seed)
+        if data is None:
+            data = self.make_data(q_seed)
+        if not hasattr(self, "_init_jit"):
+            self._init_jit = jax.jit(self._init_islands)
+            self._chunk_jit = jax.jit(self._chunk)
+            self._result_jit = jax.jit(self._result)
+        spc = max(1, min(self.config.steps_per_check, self.config.max_steps))
+        nchecks = max(1, self.config.max_steps // spc)
+        state, best = self._init_jit(key, data)
+        for _ in range(nchecks):
+            state, best = self._chunk_jit(state, best, data)
+            if bool(best[2]):  # success flag — host-side early exit
+                break
+        return self._result_jit(best, data)
 
     def solve_batch(self, keys, data) -> IKResult:
         """Solve B queries at once.  Every leaf of ``data`` must carry a

@@ -130,6 +130,7 @@ def make_solver(mode: str, ctx: SolverContext, config) -> Solver:
     from . import jac as _jac  # noqa: F401
     from . import bio2 as _bio2  # noqa: F401
     from . import bio1 as _bio1  # noqa: F401
+    from . import optlib as _optlib  # noqa: F401
 
     if mode not in _REGISTRY:
         raise ValueError(f"unknown solver mode {mode!r}; available: {sorted(_REGISTRY)}")
@@ -141,5 +142,6 @@ def solver_names():
     from . import jac as _jac  # noqa: F401
     from . import bio2 as _bio2  # noqa: F401
     from . import bio1 as _bio1  # noqa: F401
+    from . import optlib as _optlib  # noqa: F401
 
     return sorted(_REGISTRY)

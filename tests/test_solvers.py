@@ -146,3 +146,93 @@ def test_solver_deterministic_under_fixed_key(arm, arm_fk, rng):
 def test_unknown_mode_raises(arm):
     with pytest.raises(ValueError):
         IKSolver(arm, [G.PoseGoal(link=TIP)], SolverConfig(mode="nope"))
+
+
+def test_rewrap_toward_seed(arm, arm_fk, rng):
+    """Continuous-joint solutions are shifted by 2π multiples toward the
+    seed (reference: kinematics_plugin.cpp:580-613)."""
+    cfg = SolverConfig(mode="bio2_memetic", max_steps=8, dtwist=1e-3)
+    s = IKSolver(arm, [G.PoseGoal(link=TIP)], cfg)
+    gp, gq = reachable_target(arm, arm_fk, rng)
+    seed = arm.neutral_q()
+    i = arm.var_index["r_forearm_roll_joint"]  # continuous joint
+    seed[i] = 2.5
+    data = s.make_data(jnp.asarray(seed))
+    data["primary"][0]["position"] = jnp.asarray(gp)[None]
+    data["primary"][0]["orientation"] = jnp.asarray(gq)[None]
+    res = s.solve(jnp.asarray(seed), key=jax.random.PRNGKey(0), data=data)
+    # after rewrap the continuous joint lands inside its reported [-π, π]
+    # range (like the reference, which wraps at getMin/getMax after moving
+    # toward the seed), and FK is unchanged modulo 2π
+    assert -np.pi - 1e-5 <= float(res.q[i]) <= np.pi + 1e-5
+    t2 = arm_fk(res.q)
+    err = np.linalg.norm(np.asarray(t2.pos)[0] - gp)
+    assert err < 5e-2, err
+
+
+def test_for_tips_default_goals(arm):
+    """Default-goal construction (reference: kinematics_plugin.cpp:273-330)."""
+    cfg = SolverConfig(
+        mode="bio2_memetic", avoid_joint_limits_weight=0.5,
+        minimal_displacement_weight=0.1,
+    )
+    s = IKSolver.for_tips(arm, [TIP], cfg)
+    assert len(s.problem.primary) == 1      # pose group
+    assert len(s.problem.secondary) == 2    # the two regularizers
+    cfg2 = cfg.replace(position_only_ik=True)
+    s2 = IKSolver.for_tips(arm, [TIP], cfg2)
+    # rotation_scale 0 ⇒ orientation has no influence on fitness
+    assert float(s2.problem.primary[0].params["rotation_scale_sq"][0]) == 0.0
+
+
+def test_solve_until_early_exit(arm, arm_fk, rng):
+    """Latency mode stops at the first accepted solution
+    (reference analog: ik_parallel.h:160-190 first-success race)."""
+    cfg = SolverConfig(mode="bio2_memetic", max_steps=64, steps_per_check=2, dtwist=1e-3)
+    s = IKSolver(arm, [G.PoseGoal(link=TIP)], cfg)
+    gp, gq = reachable_target(arm, arm_fk, rng)
+    data = s.make_data(jnp.asarray(arm.neutral_q()))
+    data["primary"][0]["position"] = jnp.asarray(gp)[None]
+    data["primary"][0]["orientation"] = jnp.asarray(gq)[None]
+    res = s.solve_until(jnp.asarray(arm.neutral_q()), key=jax.random.PRNGKey(0), data=data)
+    assert bool(res.success)
+    t2 = arm_fk(res.q)
+    assert np.linalg.norm(np.asarray(t2.pos)[0] - gp) < 2e-3
+
+
+def test_optlib_lbfgs_solves(arm, arm_fk, rng):
+    """optax-L-BFGS analog of the cppoptlib modes
+    (reference: ik_cppoptlib.cpp:72-257, optional)."""
+    n_success, errs = solve_roundtrip(arm, arm_fk, rng, "optlib_lbfgs_4",
+                                      max_steps=16, n=2)
+    assert np.median(errs) < 2e-2, errs
+
+
+def test_bio1_solves(arm, arm_fk, rng):
+    _, errs = solve_roundtrip(arm, arm_fk, rng, "bio1", max_steps=8, n=2)
+    assert np.median(errs) < 5e-2, errs
+
+
+def test_adaptive_batch_solver(arm, arm_fk, rng):
+    """Failure-compaction multi-phase batching recovers failures from the
+    cheap first pass."""
+    from bio_ik_tpu.api import AdaptiveBatchSolver
+
+    B = 8
+    s = AdaptiveBatchSolver(
+        arm, [G.PoseGoal(link=TIP)],
+        SolverConfig(mode="bio2_memetic", dtwist=1e-3),
+        phases=((1, 4), (2, 16)), chunk_fraction=0.5,
+    )
+    qg = random_q(arm, rng, B)
+    tg = arm_fk(jnp.asarray(qg))
+    data0 = s.make_data(jnp.asarray(arm.neutral_q()))
+    data = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), data0)
+    data["primary"][0]["position"] = tg.pos
+    data["primary"][0]["orientation"] = tg.quat
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    res = s.solve_batch(keys, data)
+    assert res.q.shape == (B, arm.nvars)
+    t2 = arm_fk(res.q)
+    errs = np.linalg.norm(np.asarray(t2.pos)[:, 0] - np.asarray(tg.pos)[:, 0], axis=-1)
+    assert np.median(errs) < 5e-3, errs
