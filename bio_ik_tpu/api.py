@@ -141,6 +141,15 @@ class IKSolver:
         self.islands = config.islands or self.solver.default_islands
         self._solve_jit = jax.jit(self._solve)
         self._solve_batch_jit = jax.jit(self._solve_batch)
+        self.engine = None
+        if config.fused != "off" and config.elite_migration is False:
+            from .engine import FusedBio2Engine
+
+            if FusedBio2Engine.supports(self) is None:
+                # Pallas on TPU; the same fused math as plain jnp elsewhere
+                self.engine = FusedBio2Engine(
+                    self, use_pallas=jax.default_backend() == "tpu"
+                )
 
     # ------------------------------------------------------------------
     @classmethod
@@ -228,6 +237,11 @@ class IKSolver:
             0, spc, lambda _, s: jax.vmap(lambda x: solver.step(x, data))(s), state
         )
         best = self._merge_best(best, self._eval_islands(state, data))
+        if self.config.elite_migration:
+            # broadcast the running best into every island (island-model
+            # extension, no reference analog — see Solver.inject)
+            qa, fit = best[0], best[1]
+            state = jax.vmap(lambda s: solver.inject(s, qa, fit))(state)
         return state, best
 
     def _result(self, best, data) -> IKResult:
@@ -316,5 +330,13 @@ class IKSolver:
         ``jax.tree.map(lambda *xs: jnp.stack(xs), *datas)``); ``keys`` is a
         ``(B, 2)`` PRNG key array.  This is the scenario-batched throughput
         mode (no reference analog — the reference solves one query per
-        call)."""
+        call).
+
+        Routed to the fused species-kernel engine when the problem
+        qualifies (``config.fused``, bio2-family modes): same algorithm
+        and acceptance semantics, ~an order of magnitude faster on TPU
+        (different PRNG stream, so results differ bitwise from the
+        vmapped path)."""
+        if self.engine is not None:
+            return self.engine.solve_batch(keys, data)
         return self._solve_batch_jit(keys, data)

@@ -44,6 +44,17 @@ class SolverConfig:
     max_steps: int = 16
     steps_per_check: int = 4     # reference: ik_parallel.h:165-168
 
+    # island-model extension: broadcast the running best into every
+    # island after each chunk (no reference analog — the reference's
+    # islands exchange nothing; see Solver.inject)
+    elite_migration: bool = False
+
+    # fused batch engine routing for bio2-family modes ("auto" | "on" |
+    # "off"): "auto" uses the fused Pallas species kernel for
+    # solve_batch on TPU (jnp-fused elsewhere) when the problem
+    # qualifies; see bio_ik_tpu.engine.FusedBio2Engine.supports
+    fused: str = "auto"
+
     # numerics
     dtype: str = "float32"
 

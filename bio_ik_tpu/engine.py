@@ -1,0 +1,334 @@
+"""Fused bio2 throughput engine: scenario batch × islands × species on
+the kernel lane axis.
+
+The XLA op-by-op solver path (bio_ik_tpu.solvers.bio2 under vmap) spends
+~20 ms per step at B=4096 on HBM round-trips between hundreds of small
+fused ops.  This engine keeps solver state in the fused kernel's
+``(rows, N)`` lane layout (N = batch·islands·species) and runs the entire
+species inner loop — generations + memetic — as ONE Pallas kernel per
+step (:mod:`bio_ik_tpu.kernels.bio2_step`), with only the exact-FK
+linearization, species bookkeeping (sort/wipeout, reference:
+ik_evolution_2.cpp:604-645) and the chunked acceptance/winner logic
+(reference: ik_parallel.h:160-261) remaining as XLA ops.
+
+Semantically equivalent to ``IKSolver.solve_batch`` with a bio2-family
+mode (same per-step algorithm, same acceptance and winner-selection
+rules; PRNG streams differ, so equivalence is statistical, not bitwise).
+``IKSolver`` routes to this engine automatically when the problem
+qualifies (see :func:`FusedBio2Engine.supports`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .kernels.bio2_step import SpeciesParams, make_species_inner, make_species_kernel
+
+__all__ = ["FusedBio2Engine"]
+
+_S = 2   # species per island (reference: ik_evolution_2.cpp:141)
+_P = 2
+_C = 16
+_WIPEOUT_P = 0.1
+
+_MEMETIC_OF_MODE = {"bio2": "", "bio2_memetic": "q", "bio2_memetic_l": "l"}
+
+
+class FusedBio2Engine:
+    """Batched bio2 solve with the fused species kernel in the hot loop."""
+
+    def __init__(self, iksolver, block_n: int = 256, use_pallas: bool = True,
+                 interpret: bool = False):
+        reason = self.supports(iksolver)
+        if reason is not None:
+            raise ValueError(f"fused engine unsupported: {reason}")
+        self.iksolver = iksolver
+        self.problem = p = iksolver.problem
+        self.ctx = iksolver.ctx
+        self.config = iksolver.config
+        self.islands = iksolver.islands
+        self.block_n = block_n
+
+        memetic = _MEMETIC_OF_MODE[self.config.mode]
+        gens = 8 if memetic else 16
+
+        # goal-instance table: one kernel row group per primary goal
+        # instance (kind decides which weight rows are active)
+        self.ginst = []  # (group_idx, instance, tip_slot, kind)
+        for gi, grp in enumerate(p.primary):
+            for k in range(grp.count):
+                self.ginst.append((gi, k, int(grp.tip_slots[k]), grp.goal_type))
+        K = len(self.ginst)
+
+        self.sp = SpeciesParams(
+            V=self.ctx.nvars, K=K, C=_C, gens=gens,
+            mem_iters=8, memetic=memetic,
+        )
+        if use_pallas:
+            self.kernel = make_species_kernel(self.sp, block_n=block_n,
+                                              interpret=interpret)
+        else:
+            inner = make_species_inner(self.sp)
+            self.kernel = jax.jit(inner)
+        self._solve_jit = jax.jit(self._solve_batch)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def supports(iksolver) -> Optional[str]:
+        """None when the fused fast path applies, else the reason why not."""
+        from .solvers.bio2 import Bio2Solver
+
+        p = iksolver.problem
+        if iksolver.config.mode not in _MEMETIC_OF_MODE:
+            return f"mode {iksolver.config.mode!r} is not a fused bio2 family"
+        if p.has_secondary:
+            return "secondary goals need the pre-selection pass"
+        for grp in p.primary:
+            if grp.goal_type not in ("position", "orientation", "pose"):
+                return f"goal kind {grp.kind!r} not in the fused fitness"
+        if not p.primary:
+            return "no primary goals"
+        if isinstance(iksolver.solver, Bio2Solver) and iksolver.solver.quat_slices:
+            return "floating-joint quaternion genes need renormalization"
+        if np.dtype(p.dtype) != np.float32:
+            return "fused kernel is float32"
+        return None
+
+    # ------------------------------------------------------------------
+    def _goal_rows(self, data, B):
+        """Per-goal-instance kernel rows from the data pytree:
+        gpos (B, K·3), gquat (B, K·4), wpos/wrot (B, K)."""
+        p = self.problem
+        dt = jnp.float32
+        gpos, gquat, wpos, wrot = [], [], [], []
+        for gi, k, _slot, kind in self.ginst:
+            gd = data["primary"][gi]
+            w = gd["weight_sq"][..., k]
+            zeros3 = jnp.zeros(w.shape + (3,), dt)
+            ident = jnp.broadcast_to(
+                jnp.asarray([0, 0, 0, 1], dt), w.shape + (4,)
+            )
+            gpos.append(gd["position"][..., k, :] if kind in ("position", "pose")
+                        else zeros3)
+            gquat.append(gd["orientation"][..., k, :]
+                         if kind in ("orientation", "pose") else ident)
+            if kind == "pose":
+                wpos.append(w)
+                wrot.append(w * gd["rotation_scale_sq"][..., k])
+            elif kind == "position":
+                wpos.append(w)
+                wrot.append(jnp.zeros_like(w))
+            else:
+                wpos.append(jnp.zeros_like(w))
+                wrot.append(w)
+        return (
+            jnp.concatenate([g[..., None, :] for g in gpos], -2).reshape(B, -1),
+            jnp.concatenate([g[..., None, :] for g in gquat], -2).reshape(B, -1),
+            jnp.stack(wpos, -1),
+            jnp.stack(wrot, -1),
+        )
+
+    # ------------------------------------------------------------------
+    def _solve_batch(self, keys, data):
+        from .api import IKResult
+
+        p, ctx, cfg = self.problem, self.ctx, self.config
+        V, K, I, S = self.sp.V, self.sp.K, self.islands, _S
+        gens, C = self.sp.gens, self.sp.C
+        dt = jnp.float32
+        B = keys.shape[0]
+        M = B * I * S
+        Mp = -(-M // self.block_n) * self.block_n  # pad lanes to block
+
+        def to_lanes(x):
+            """(B, I, S, R) → (R, Mp) — species fastest on lanes."""
+            r = x.reshape(M, -1).T
+            return jnp.pad(r, ((0, 0), (0, Mp - M)))
+
+        def from_lanes(x, R):
+            return x[:, :M].T.reshape(B, I, S, R)
+
+        seed_active = data["seed_active"].astype(dt)            # (B, V)
+        seed_full = data["seed_full"]                           # (B, Vfull)
+        seed_bis = jnp.broadcast_to(seed_active[:, None, None, :], (B, I, S, V))
+        seed_full_m = jnp.broadcast_to(
+            seed_full[:, None, None, :], (B, I, S) + seed_full.shape[-1:]
+        ).reshape(M, -1)
+
+        # per-variable bounds rows, lane-broadcast
+        span = jnp.broadcast_to(p.aspan[:, None], (V, Mp)).astype(dt)
+        cmin = jnp.broadcast_to(p.aclip_min[:, None], (V, Mp)).astype(dt)
+        cmax = jnp.broadcast_to(p.aclip_max[:, None], (V, Mp)).astype(dt)
+
+        # goal rows, broadcast over (I, S) then laned
+        gpos_b, gquat_b, wpos_b, wrot_b = self._goal_rows(data, B)
+
+        def lane_goal(x):
+            r = x.shape[-1]
+            return to_lanes(jnp.broadcast_to(x[:, None, None, :], (B, I, S, r)))
+
+        gpos = lane_goal(gpos_b)
+        gquat = lane_goal(gquat_b)
+        wpos = lane_goal(wpos_b)
+        wrot = lane_goal(wrot_b)
+
+        # data views batched per lane for fitness/acceptance calls
+        data_m = jax.tree.map(
+            lambda x: jnp.broadcast_to(
+                x[:, None, None], (B, I, S) + x.shape[1:]
+            ).reshape((M,) + x.shape[1:]),
+            data,
+        )
+        data_bi = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[:, None], (B, I) + x.shape[1:]).reshape(
+                (B * I,) + x.shape[1:]
+            ),
+            data,
+        )
+
+        tip_slots = np.asarray([g[2] for g in self.ginst])
+
+        def fitness_lanes(qa_m):
+            """Exact primary fitness for (M, V) active configs."""
+            return ctx.fitness_exact(qa_m, data_m)               # (M,)
+
+        # ---- init (reference :155-166: all islands start from the seed) --
+        genes = to_lanes(
+            jnp.broadcast_to(seed_bis[..., None, :], (B, I, S, _P, V))
+            .reshape(B, I, S, _P * V)
+        )
+        grads = jnp.zeros_like(genes)
+        f0 = fitness_lanes(seed_bis.reshape(M, V)).reshape(B, I, S)[..., 0]
+        sfit = jnp.full((B, I, S), jnp.inf, dt)
+        solution = seed_bis[..., 0, :]                           # (B, I, V)
+        sol_fit = f0                                             # (B, I)
+
+        # ---- one fused step ----------------------------------------------
+        def step(carry, key):
+            genes, grads, sfit, solution, sol_fit = carry
+            k_noise, k_rate, k_wipe_p, k_wipe_g = jax.random.split(key, 4)
+
+            # linearize at parent 0 (reference :341-346)
+            x0 = genes[: V * 1, :]                                # (V, Mp)
+            qa0 = x0[:, :M].T                                     # (M, V)
+            qfull = ctx.qfull(seed_full_m, qa0)
+            tips0_f, deltas_f = ctx.linearize(qfull)              # (M,T,7),(M,T,V,7)
+            tips0 = to_lanes(tips0_f[:, tip_slots, :].reshape(M, K * 7))
+            # deltas → rows v·K·7 + k·7 + d
+            dsel = deltas_f[:, tip_slots, :, :]                   # (M, K, V, 7)
+            deltas = to_lanes(
+                jnp.transpose(dsel, (0, 2, 1, 3)).reshape(M, V * K * 7)
+            )
+
+            noise = jax.random.normal(k_noise, (gens, V, C, Mp), dt)
+            k_exp = jax.random.randint(k_rate, (gens, C, Mp), 0, 16)
+            rates = jnp.exp2(k_exp.astype(dt) - 23.0)
+
+            genes, grads = self.kernel(
+                genes, grads, tips0, deltas, gpos, gquat, wpos, wrot,
+                span, cmin, cmax, noise, rates,
+            )
+
+            # exact species fitness + sort (reference :608-617)
+            qa_new = genes[:V, :M].T                              # (M, V)
+            f = fitness_lanes(qa_new).reshape(B, I, S)
+            improved = f != sfit
+            swap = f[..., 1] < f[..., 0]                          # S = 2
+
+            def sswap(x):
+                # x (R, Mp) viewed (R, B, I, S): swap the species pair
+                xr = x[:, :M].reshape(-1, B, I, S)
+                xs = jnp.where(swap[None, :, :, None], xr[..., ::-1], xr)
+                return jnp.pad(xs.reshape(-1, M), ((0, 0), (0, Mp - M)))
+
+            genes, grads = sswap(genes), sswap(grads)
+            f = jnp.where(swap[..., None], f[..., ::-1], f)
+            improved = jnp.where(swap[..., None], improved[..., ::-1], improved)
+
+            # wipeout of stagnant non-best species (reference :620-637)
+            wipe = (jax.random.uniform(k_wipe_p, (B, I)) < _WIPEOUT_P) | (
+                ~improved[..., 1]
+            )
+            rand_u = jax.random.uniform(k_wipe_g, (B, I, V), dt)
+            rand_genes = p.amin + rand_u * (p.amax - p.amin)
+
+            gr = genes[:, :M].reshape(_P, V, B, I, S)
+            rg = jnp.transpose(rand_genes, (2, 0, 1))             # (V, B, I)
+            new_s1 = jnp.where(wipe[None, None, :, :], rg[None], gr[..., 1])
+            gr = gr.at[..., 1].set(new_s1)
+            genes = jnp.pad(gr.reshape(_P * V, M), ((0, 0), (0, Mp - M)))
+            rr = grads[:, :M].reshape(_P, V, B, I, S)
+            rr = rr.at[..., 1].set(
+                jnp.where(wipe[None, None, :, :], 0.0, rr[..., 1])
+            )
+            grads = jnp.pad(rr.reshape(_P * V, M), ((0, 0), (0, Mp - M)))
+
+            # incumbent update (reference :640-644)
+            cand = genes[:V, :M].reshape(V, B, I, S)[..., 0]      # (V, B, I)
+            cand = jnp.transpose(cand, (1, 2, 0))                 # (B, I, V)
+            better = f[..., 0] < sol_fit
+            solution = jnp.where(better[..., None], cand, solution)
+            sol_fit = jnp.where(better, f[..., 0], sol_fit)
+            return (genes, grads, f, solution, sol_fit), None
+
+        # ---- chunked run with acceptance checks (ik_parallel.h:160-261) --
+        spc = max(1, min(cfg.steps_per_check, cfg.max_steps))
+        nchecks = max(1, cfg.max_steps // spc)
+
+        def eval_islands(solution, sol_fit):
+            """Winner per scenario among islands (api._eval_islands,
+            vectorized over B)."""
+            qa = solution.reshape(B * I, V)
+            tips = ctx.tips_frame(data_bi["seed_full"], qa)
+            ok = p.check_solution(tips, qa, data_bi).reshape(B, I)
+            fit = sol_fit
+            any_ok = jnp.any(ok, axis=1, keepdims=True)
+            sel = jnp.where(ok == any_ok, fit, jnp.inf)
+            i = jnp.argmin(sel, axis=1)
+            bi = jnp.arange(B)
+            # no secondary goals on the fast path ⇒ rank key == primary
+            # fitness for both successes and failures (api._eval_islands)
+            return solution[bi, i], fit[bi, i], ok[bi, i], fit[bi, i]
+
+        def merge(best, cand):
+            b_qa, b_fit, b_ok, b_key = best
+            qa, fit, ok, kk = cand
+            take = (ok & ~b_ok) | ((ok == b_ok) & (kk < b_key))
+            return (
+                jnp.where(take[..., None], qa, b_qa),
+                jnp.where(take, fit, b_fit),
+                jnp.where(take, ok, b_ok),
+                jnp.where(take, kk, b_key),
+            )
+
+        carry = (genes, grads, sfit, solution, sol_fit)
+        best = eval_islands(solution, sol_fit)
+        # one engine-level step-key stream derived from the first batch
+        # key; per-lane independence comes from the lane axis of each
+        # draw, so a single stream suffices (and keeps the whole run
+        # deterministic under a fixed key set)
+        master = jax.random.fold_in(keys[0], 0x5EED)
+        kstream = jax.random.split(master, nchecks * spc)
+        kstream = kstream.reshape((nchecks, spc) + kstream.shape[1:])
+
+        def chunk(carry_best, ks):
+            carry, best = carry_best
+            carry, _ = jax.lax.scan(step, carry, ks)
+            _, _, _, solution, sol_fit = carry
+            best = merge(best, eval_islands(solution, sol_fit))
+            return (carry, best), None
+
+        (carry, best), _ = jax.lax.scan(chunk, (carry, best), kstream)
+        qa_w, fit_w, ok_w, _ = best
+        qa_w = self.iksolver._rewrap(qa_w, data["seed_active"])  # elementwise
+        qfull_w = ctx.qfull(data["seed_full"], qa_w)
+        return IKResult(q=qfull_w, success=ok_w, fitness=fit_w, qa=qa_w)
+
+    # ------------------------------------------------------------------
+    def solve_batch(self, keys, data):
+        return self._solve_jit(keys, data)

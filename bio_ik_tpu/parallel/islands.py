@@ -53,10 +53,17 @@ def _pick_winner(solver, qa, fit, ok):
     return jax.tree.map(lambda a: a[i], (qa, fit, ok))
 
 
-def make_sharded_island_solve(iksolver, mesh: Mesh, axis: str = "islands"):
+def make_sharded_island_solve(iksolver, mesh: Mesh, axis: str = "islands",
+                              migrate: bool = False):
     """Latency mode: one query, ``mesh.shape[axis]`` device-groups each
     running the solver's full island count locally; global winner via
     all-gather.
+
+    With ``migrate=True``, the per-device running best is all-gathered
+    between step chunks and the global best injected into every local
+    island (``Solver.inject``) — elite migration over ICI, the island-
+    model extension of SURVEY §5.8 (the reference's islands exchange
+    nothing until the end, ik_parallel.h:94-97).
 
     Returns ``fn(key, data) -> IKResult`` (jitted over the mesh; ``data``
     replicated).
@@ -64,6 +71,9 @@ def make_sharded_island_solve(iksolver, mesh: Mesh, axis: str = "islands"):
     from ..api import IKResult
 
     n = mesh.shape[axis]
+    cfg = iksolver.config
+    spc = max(1, min(cfg.steps_per_check, cfg.max_steps))
+    nchecks = max(1, cfg.max_steps // spc)
 
     @partial(
         jax.shard_map,
@@ -73,7 +83,29 @@ def make_sharded_island_solve(iksolver, mesh: Mesh, axis: str = "islands"):
         check_vma=False,
     )
     def run(keys, data):
-        res = iksolver._solve(keys[0], data)
+        state, best = iksolver._init_islands(keys[0], data)
+
+        def body(carry, _):
+            state, best = carry
+            state, best = iksolver._chunk(state, best, data)
+            if migrate:
+                # global best across devices → inject into local islands
+                qa = jax.lax.all_gather(best[0], axis)
+                fit = jax.lax.all_gather(best[1], axis)
+                ok = jax.lax.all_gather(best[2], axis)
+                rank = jax.lax.all_gather(best[3], axis)
+                any_ok = jnp.any(ok)
+                sel = jnp.where(ok == any_ok, rank, jnp.inf)
+                i = jnp.argmin(sel)
+                cand = (qa[i], fit[i], ok[i], rank[i])
+                state = jax.vmap(
+                    lambda s: iksolver.solver.inject(s, qa[i], fit[i])
+                )(state)
+                best = iksolver._merge_best(best, cand)
+            return (state, best), None
+
+        (state, best), _ = jax.lax.scan(body, (state, best), None, length=nchecks)
+        res = iksolver._result(best, data)
         # gather per-device winners and reduce identically everywhere
         qa = jax.lax.all_gather(res.qa, axis)
         fit = jax.lax.all_gather(res.fitness, axis)

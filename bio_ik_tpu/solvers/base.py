@@ -110,6 +110,17 @@ class Solver:
         """→ (qa, primary_fitness) of the incumbent best."""
         raise NotImplementedError
 
+    def inject(self, state, qa, fitness):
+        """Elite migration hook: absorb a migrant ``(qa, fitness)`` from
+        another island into the state.  Default: no-op.
+
+        No reference analog (the reference's islands exchange nothing,
+        ik_parallel.h:94-97); this is the island-model extension SURVEY
+        §5.8 plans for scale-out quality — the migrant is the global best
+        broadcast between step chunks via ``all_gather`` over the mesh.
+        """
+        return state
+
 
 _REGISTRY: Dict[str, Callable[[SolverContext, object], Solver]] = {}
 
@@ -125,23 +136,23 @@ def register_solver(name: str):
 def make_solver(mode: str, ctx: SolverContext, config) -> Solver:
     """Instantiate a solver by mode name (reference: IKFactory::create,
     utils.h:398-444 + registration lines in each solver file)."""
+    _import_all()
+    if mode not in _REGISTRY:
+        raise ValueError(f"unknown solver mode {mode!r}; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[mode](ctx, config)
+
+
+def _import_all():
     # import solver modules lazily to populate the registry
     from . import gd as _gd  # noqa: F401
     from . import jac as _jac  # noqa: F401
     from . import bio2 as _bio2  # noqa: F401
     from . import bio1 as _bio1  # noqa: F401
     from . import optlib as _optlib  # noqa: F401
-
-    if mode not in _REGISTRY:
-        raise ValueError(f"unknown solver mode {mode!r}; available: {sorted(_REGISTRY)}")
-    return _REGISTRY[mode](ctx, config)
+    from . import neural as _neural  # noqa: F401
+    from . import testmode as _testmode  # noqa: F401
 
 
 def solver_names():
-    from . import gd as _gd  # noqa: F401
-    from . import jac as _jac  # noqa: F401
-    from . import bio2 as _bio2  # noqa: F401
-    from . import bio1 as _bio1  # noqa: F401
-    from . import optlib as _optlib  # noqa: F401
-
+    _import_all()
     return sorted(_REGISTRY)

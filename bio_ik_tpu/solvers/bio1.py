@@ -382,5 +382,14 @@ class Bio1Solver(Solver):
     def solution(self, st: Bio1State, data):
         return st.solution, self.ctx.fitness_exact(st.solution, data)
 
+    def inject(self, st: Bio1State, qa, fitness):
+        """Absorb a migrant into the worst population slot (see
+        Solver.inject)."""
+        return st._replace(
+            genes=st.genes.at[-1].set(qa.astype(st.genes.dtype)),
+            grads=st.grads.at[-1].set(0.0),
+            fitness=st.fitness.at[-1].set(fitness.astype(st.fitness.dtype)),
+        )
+
 
 register_solver("bio1")(lambda ctx, config: Bio1Solver(ctx, config))

@@ -188,6 +188,38 @@ class Bio2Solver(Solver):
 
         grad_fn = jax.value_and_grad(combined_at)
 
+        if self.memetic == "o":
+            # L-BFGS memetic phase (reference: bio2_memetic_lbfgs,
+            # ik_evolution_2.cpp:571-600 — cppoptlib L-BFGS on the
+            # approximated fitness, 4 inner iterations per invocation)
+            import optax
+
+            opt = optax.lbfgs(memory_size=10)
+
+            def obj(x):
+                return combined_at(ctx.clip(x))
+
+            def lbfgs_body(_, carry):
+                x, opt_state = carry
+                value, grad = optax.value_and_grad_from_state(obj)(
+                    x, state=opt_state
+                )
+                updates, opt_state = opt.update(
+                    grad, opt_state, x, value=value, grad=grad, value_fn=obj
+                )
+                x = optax.apply_updates(x, updates)
+                return x, opt_state
+
+            x, _ = jax.lax.fori_loop(
+                0, _MEMETIC_ITERS, lbfgs_body, (genes0, opt.init(genes0))
+            )
+            x = ctx.clip(x)
+            x = jnp.where(jnp.all(jnp.isfinite(x)), x, genes0)
+            # keep the reference's keep-if-better contract (:604-614 via
+            # species fitness): never return a worse individual
+            better = combined_at(x) < combined_at(genes0)
+            return jnp.where(better, x, genes0)
+
         def body(_, carry):
             genes, done = carry
             f2p, _ = fitness_at(genes)
@@ -295,7 +327,20 @@ class Bio2Solver(Solver):
     def solution(self, st: Bio2State, data):
         return st.solution, st.solution_fitness
 
+    def inject(self, st: Bio2State, qa, fitness):
+        """Absorb a migrant: it replaces the worst species' second parent
+        (preserving each species' local best for diversity) and updates
+        the incumbent if better (see Solver.inject)."""
+        genes = st.genes.at[_SPECIES - 1, 1].set(qa.astype(st.genes.dtype))
+        better = fitness < st.solution_fitness
+        return st._replace(
+            genes=genes,
+            solution=jnp.where(better, qa, st.solution),
+            solution_fitness=jnp.minimum(fitness, st.solution_fitness),
+        )
+
 
 register_solver("bio2")(lambda ctx, config: Bio2Solver(ctx, config, memetic=""))
 register_solver("bio2_memetic")(lambda ctx, config: Bio2Solver(ctx, config, memetic="q"))
 register_solver("bio2_memetic_l")(lambda ctx, config: Bio2Solver(ctx, config, memetic="l"))
+register_solver("bio2_memetic_lbfgs")(lambda ctx, config: Bio2Solver(ctx, config, memetic="o"))

@@ -112,6 +112,17 @@ class GDSolver(Solver):
     def solution(self, st: GDState, data):
         return st.best, st.best_fitness
 
+    def inject(self, st: GDState, qa, fitness):
+        """Adopt the migrant as the working point when it beats the
+        current one (see Solver.inject)."""
+        take = fitness < st.fitness
+        return st._replace(
+            qa=jnp.where(take, qa, st.qa),
+            fitness=jnp.where(take, fitness, st.fitness),
+            best=jnp.where(fitness < st.best_fitness, qa, st.best),
+            best_fitness=jnp.minimum(fitness, st.best_fitness),
+        )
+
 
 for _name, _stuck, _islands in [
     ("gd", " ", 1), ("gd_2", " ", 2), ("gd_4", " ", 4), ("gd_8", " ", 8),

@@ -96,3 +96,37 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_island_sharded_solve_with_migration(setup, rng):
+    """Elite migration over the mesh (Solver.inject + all_gather between
+    chunks) — island-model extension of SURVEY §5.8."""
+    m, fk, s = setup
+    mesh = default_mesh("islands")
+    solve = make_sharded_island_solve(s, mesh, migrate=True)
+    qg = random_q(m, rng)
+    tg = fk(jnp.asarray(qg))
+    data = s.make_data(jnp.asarray(m.neutral_q()))
+    data["primary"][0]["position"] = tg.pos
+    data["primary"][0]["orientation"] = tg.quat
+    res = solve(jax.random.PRNGKey(0), data)
+    assert res.q.shape == (m.nvars,)
+    seed_fit = float(s.ctx.fitness_exact(data["seed_active"], data))
+    assert float(res.fitness) < seed_fit
+
+
+def test_elite_migration_single_chip(setup, rng):
+    """config.elite_migration broadcasts the running best into every
+    island between chunks."""
+    m, fk, s = setup
+    cfg = SolverConfig(mode="bio2_memetic", max_steps=4, dtwist=1e-3,
+                       elite_migration=True)
+    s2 = IKSolver(m, [G.PoseGoal(link=TIP)], cfg)
+    qg = random_q(m, rng)
+    tg = fk(jnp.asarray(qg))
+    data = s2.make_data(jnp.asarray(m.neutral_q()))
+    data["primary"][0]["position"] = tg.pos
+    data["primary"][0]["orientation"] = tg.quat
+    res = s2.solve(jnp.asarray(m.neutral_q()), key=jax.random.PRNGKey(0), data=data)
+    seed_fit = float(s2.ctx.fitness_exact(data["seed_active"], data))
+    assert float(res.fitness) < seed_fit

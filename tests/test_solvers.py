@@ -236,3 +236,66 @@ def test_adaptive_batch_solver(arm, arm_fk, rng):
     t2 = arm_fk(res.q)
     errs = np.linalg.norm(np.asarray(t2.pos)[:, 0] - np.asarray(tg.pos)[:, 0], axis=-1)
     assert np.median(errs) < 5e-3, errs
+
+
+def test_registry_has_optional_modes():
+    names = solver_names()
+    # optional reference modes (cppoptlib/FANN equivalents + diagnostics)
+    for n in ["bio2_memetic_lbfgs", "optlib_lbfgs", "optlib_lbfgs_r_4",
+              "neural", "neural2", "test"]:
+        assert n in names, n
+
+
+def test_bio2_memetic_lbfgs_solves(arm, arm_fk, rng):
+    """L-BFGS memetic variant (reference: bio2_memetic_lbfgs,
+    ik_evolution_2.cpp:656-658, optional behind USE_CPPOPTLIB)."""
+    n_success, errs = solve_roundtrip(arm, arm_fk, rng, "bio2_memetic_lbfgs",
+                                      max_steps=8, n=2)
+    assert np.median(errs) < 1e-2, errs
+
+
+def test_neural_solver_reduces_error(arm, arm_fk, rng):
+    """MLP twist→Δq solver (reference: IKNeural, ik_neural.cpp:135-427).
+    Like the reference's, a coarse approximator — assert improvement over
+    the seed, not full convergence."""
+    cfg = SolverConfig(mode="neural", max_steps=16, dtwist=1e-3)
+    s = IKSolver(arm, [G.PoseGoal(link=TIP)], cfg)
+    gp, gq = reachable_target(arm, arm_fk, rng)
+    seed = jnp.asarray(arm.neutral_q())
+    data = s.make_data(seed)
+    data["primary"][0]["position"] = jnp.asarray(gp)[None]
+    data["primary"][0]["orientation"] = jnp.asarray(gq)[None]
+    err0 = np.linalg.norm(np.asarray(arm_fk(seed).pos)[0] - gp)
+    res = s.solve(seed, key=jax.random.PRNGKey(0), data=data)
+    err = np.linalg.norm(np.asarray(arm_fk(res.q).pos)[0] - gp)
+    assert err < err0, (err, err0)
+
+
+def test_neural2_solver_regresses_pose(arm, arm_fk, rng):
+    """Direct pose→q regression (reference: IKNeural2, ik_neural.cpp:432-689)."""
+    cfg = SolverConfig(mode="neural2", max_steps=2, dtwist=1e-3)
+    s = IKSolver(arm, [G.PoseGoal(link=TIP)], cfg)
+    gp, gq = reachable_target(arm, arm_fk, rng)
+    seed = jnp.asarray(arm.neutral_q())
+    data = s.make_data(seed)
+    data["primary"][0]["position"] = jnp.asarray(gp)[None]
+    data["primary"][0]["orientation"] = jnp.asarray(gq)[None]
+    res = s.solve(seed, key=jax.random.PRNGKey(0), data=data)
+    err = np.linalg.norm(np.asarray(arm_fk(res.q).pos)[0] - gp)
+    # network regression accuracy, not solver accuracy (reference's
+    # neural2 is similarly coarse)
+    assert err < 0.5, err
+
+
+def test_test_mode_reports_approx_error(arm, arm_fk, rng):
+    """Diagnostic mode 'test' (reference: IKTest, ik_test.cpp:40-137):
+    linearizer-vs-exact-FK error stats; solution == seed."""
+    cfg = SolverConfig(mode="test", max_steps=2)
+    s = IKSolver(arm, [G.PoseGoal(link=TIP)], cfg)
+    seed = jnp.asarray(arm.neutral_q())
+    state = s.solver.init(jax.random.PRNGKey(0), s.make_data(seed),
+                          jnp.zeros((), bool))
+    assert float(state.pos_err) < 5e-3, float(state.pos_err)   # ±0.1 rad probes
+    assert float(state.rot_err) < 5e-2, float(state.rot_err)
+    st2 = s.solver.step(state, s.make_data(seed))
+    np.testing.assert_array_equal(np.asarray(st2.qa), np.asarray(state.qa))
