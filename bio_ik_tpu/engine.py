@@ -4,12 +4,19 @@ the kernel lane axis.
 The XLA op-by-op solver path (bio_ik_tpu.solvers.bio2 under vmap) spends
 ~20 ms per step at B=4096 on HBM round-trips between hundreds of small
 fused ops.  This engine keeps solver state in the fused kernel's
-``(rows, N)`` lane layout (N = batch·islands·species) and runs the entire
-species inner loop — generations + memetic — as ONE Pallas kernel per
-step (:mod:`bio_ik_tpu.kernels.bio2_step`), with only the exact-FK
-linearization, species bookkeeping (sort/wipeout, reference:
-ik_evolution_2.cpp:604-645) and the chunked acceptance/winner logic
-(reference: ik_parallel.h:160-261) remaining as XLA ops.
+``(rows, N)`` lane layout (N = batch·islands·species) and runs the
+species inner loop as ONE Pallas kernel per step, with only species
+bookkeeping (sort/wipeout, reference: ik_evolution_2.cpp:604-645) and
+the chunked acceptance/winner logic (reference: ik_parallel.h:160-261)
+remaining as XLA ops.
+
+Two kernel tiers, selected automatically:
+  * **fullstep** (:mod:`bio_ik_tpu.kernels.bio2_fullstep`): exact FK,
+    linearization, generations, memetic and exact species fitness all
+    in-kernel — requires a FIXED/REVOLUTE/PRISMATIC chain;
+  * **species** (:mod:`bio_ik_tpu.kernels.bio2_step`): linearization and
+    exact FK stay in XLA; used when the chain has floating/planar
+    joints.
 
 Semantically equivalent to ``IKSolver.solve_batch`` with a bio2-family
 mode (same per-step algorithm, same acceptance and winner-selection
@@ -28,6 +35,9 @@ import jax
 import jax.numpy as jnp
 
 from .kernels.bio2_step import SpeciesParams, make_species_inner, make_species_kernel
+from .kernels.bio2_fullstep import make_fullstep_inner, make_fullstep_kernel
+from .kernels.fk_rows import supports_fullstep_chain
+from .math.frame import Frame
 
 __all__ = ["FusedBio2Engine"]
 
@@ -35,6 +45,7 @@ _S = 2   # species per island (reference: ik_evolution_2.cpp:141)
 _P = 2
 _C = 16
 _WIPEOUT_P = 0.1
+_MAX_FUSED_VARS = 16  # unroll guard: larger robots use the vmapped path
 
 _MEMETIC_OF_MODE = {"bio2": "", "bio2_memetic": "q", "bio2_memetic_l": "l"}
 
@@ -69,12 +80,32 @@ class FusedBio2Engine:
             V=self.ctx.nvars, K=K, C=_C, gens=gens,
             mem_iters=8, memetic=memetic,
         )
-        if use_pallas:
-            self.kernel = make_species_kernel(self.sp, block_n=block_n,
-                                              interpret=interpret)
+        model = p.model
+        tip_idx = [model.link_index[t] for t in p.tip_links]
+        self.fullstep = supports_fullstep_chain(model, tip_idx)
+        inst_tip = [g[2] for g in self.ginst]
+        if self.fullstep:
+            if use_pallas:
+                self.kernel, self.n_fix = make_fullstep_kernel(
+                    model, p.tip_links, p.active_vars, inst_tip, self.sp,
+                    block_n=block_n, interpret=interpret,
+                )
+            else:
+                inner, self.n_fix = make_fullstep_inner(
+                    model, p.tip_links, p.active_vars, inst_tip, self.sp
+                )
+                self.kernel = jax.jit(inner)
+            from .kernels.fk_rows import FkRows
+
+            self.fixed_vars = FkRows(
+                model, p.tip_links, p.active_vars
+            ).fixed_vars
         else:
-            inner = make_species_inner(self.sp)
-            self.kernel = jax.jit(inner)
+            if use_pallas:
+                self.kernel = make_species_kernel(self.sp, block_n=block_n,
+                                                  interpret=interpret)
+            else:
+                self.kernel = jax.jit(make_species_inner(self.sp))
         self._solve_jit = jax.jit(self._solve_batch)
 
     # ------------------------------------------------------------------
@@ -97,13 +128,14 @@ class FusedBio2Engine:
             return "floating-joint quaternion genes need renormalization"
         if np.dtype(p.dtype) != np.float32:
             return "fused kernel is float32"
+        if len(p.active_vars) > _MAX_FUSED_VARS:
+            return f"{len(p.active_vars)} active variables exceed the unroll guard"
         return None
 
     # ------------------------------------------------------------------
     def _goal_rows(self, data, B):
         """Per-goal-instance kernel rows from the data pytree:
         gpos (B, K·3), gquat (B, K·4), wpos/wrot (B, K)."""
-        p = self.problem
         dt = jnp.float32
         gpos, gquat, wpos, wrot = [], [], [], []
         for gi, k, _slot, kind in self.ginst:
@@ -139,6 +171,7 @@ class FusedBio2Engine:
 
         p, ctx, cfg = self.problem, self.ctx, self.config
         V, K, I, S = self.sp.V, self.sp.K, self.islands, _S
+        T = p.ntips
         gens, C = self.sp.gens, self.sp.C
         dt = jnp.float32
         B = keys.shape[0]
@@ -149,9 +182,6 @@ class FusedBio2Engine:
             """(B, I, S, R) → (R, Mp) — species fastest on lanes."""
             r = x.reshape(M, -1).T
             return jnp.pad(r, ((0, 0), (0, Mp - M)))
-
-        def from_lanes(x, R):
-            return x[:, :M].T.reshape(B, I, S, R)
 
         seed_active = data["seed_active"].astype(dt)            # (B, V)
         seed_full = data["seed_full"]                           # (B, Vfull)
@@ -177,6 +207,17 @@ class FusedBio2Engine:
         wpos = lane_goal(wpos_b)
         wrot = lane_goal(wrot_b)
 
+        if self.fullstep:
+            fv = self.fixed_vars
+            if fv:
+                qfix = to_lanes(
+                    jnp.broadcast_to(
+                        seed_full[:, None, None, fv], (B, I, S, len(fv))
+                    )
+                ).astype(dt)
+            else:
+                qfix = jnp.zeros((1, Mp), dt)
+
         # data views batched per lane for fitness/acceptance calls
         data_m = jax.tree.map(
             lambda x: jnp.broadcast_to(
@@ -193,55 +234,87 @@ class FusedBio2Engine:
 
         tip_slots = np.asarray([g[2] for g in self.ginst])
 
-        def fitness_lanes(qa_m):
-            """Exact primary fitness for (M, V) active configs."""
-            return ctx.fitness_exact(qa_m, data_m)               # (M,)
-
         # ---- init (reference :155-166: all islands start from the seed) --
         genes = to_lanes(
             jnp.broadcast_to(seed_bis[..., None, :], (B, I, S, _P, V))
             .reshape(B, I, S, _P * V)
         )
         grads = jnp.zeros_like(genes)
-        f0 = fitness_lanes(seed_bis.reshape(M, V)).reshape(B, I, S)[..., 0]
+        seed_tips_f = ctx.tips_frame(data["seed_full"], seed_active)  # (B,T)
+        f0 = p.fitness(
+            jnp.concatenate([seed_tips_f.pos, seed_tips_f.quat], -1),
+            seed_active, data,
+        )                                                        # (B,)
         sfit = jnp.full((B, I, S), jnp.inf, dt)
         solution = seed_bis[..., 0, :]                           # (B, I, V)
-        sol_fit = f0                                             # (B, I)
+        sol_fit = jnp.broadcast_to(f0[:, None], (B, I))
+        sol_tips = jnp.broadcast_to(
+            jnp.concatenate([seed_tips_f.pos, seed_tips_f.quat], -1)[:, None],
+            (B, I, T, 7),
+        )
+
+        def unlane(x, R):
+            return x[:, :M].T.reshape(B, I, S, R)
 
         # ---- one fused step ----------------------------------------------
         def step(carry, key):
-            genes, grads, sfit, solution, sol_fit = carry
+            genes, grads, sfit, solution, sol_fit, sol_tips = carry
             k_noise, k_rate, k_wipe_p, k_wipe_g = jax.random.split(key, 4)
-
-            # linearize at parent 0 (reference :341-346)
-            x0 = genes[: V * 1, :]                                # (V, Mp)
-            qa0 = x0[:, :M].T                                     # (M, V)
-            qfull = ctx.qfull(seed_full_m, qa0)
-            tips0_f, deltas_f = ctx.linearize(qfull)              # (M,T,7),(M,T,V,7)
-            tips0 = to_lanes(tips0_f[:, tip_slots, :].reshape(M, K * 7))
-            # deltas → rows v·K·7 + k·7 + d
-            dsel = deltas_f[:, tip_slots, :, :]                   # (M, K, V, 7)
-            deltas = to_lanes(
-                jnp.transpose(dsel, (0, 2, 1, 3)).reshape(M, V * K * 7)
-            )
 
             noise = jax.random.normal(k_noise, (gens, V, C, Mp), dt)
             k_exp = jax.random.randint(k_rate, (gens, C, Mp), 0, 16)
             rates = jnp.exp2(k_exp.astype(dt) - 23.0)
 
-            genes, grads = self.kernel(
-                genes, grads, tips0, deltas, gpos, gquat, wpos, wrot,
-                span, cmin, cmax, noise, rates,
-            )
+            if self.fullstep:
+                genes, grads, tips_rows, fit_row = self.kernel(
+                    genes, grads, qfix, gpos, gquat, wpos, wrot,
+                    span, cmin, cmax, noise, rates,
+                )
+                f = unlane(fit_row, 1)[..., 0]                   # (B, I, S)
+                tips_bis = unlane(tips_rows, T * 7)              # (B,I,S,T·7)
+            else:
+                # linearize at parent 0 in XLA (reference :341-346)
+                qa0 = genes[:V, :M].T                            # (M, V)
+                qfull = ctx.qfull(seed_full_m, qa0)
+                tips0_f, deltas_f = ctx.linearize(qfull)
+                tips0 = to_lanes(tips0_f[:, tip_slots, :].reshape(M, K * 7))
+                dsel = deltas_f[:, tip_slots, :, :]              # (M, K, V, 7)
+                deltas = to_lanes(
+                    jnp.transpose(dsel, (0, 2, 1, 3)).reshape(M, V * K * 7)
+                )
+                genes, grads = self.kernel(
+                    genes, grads, tips0, deltas, gpos, gquat, wpos, wrot,
+                    span, cmin, cmax, noise, rates,
+                )
+                qa_new = genes[:V, :M].T                         # (M, V)
+                tips_f = ctx.tips_frame(seed_full_m, qa_new)     # (M, T)
+                tips_m = jnp.concatenate([tips_f.pos, tips_f.quat], -1)
+                f = p.fitness(tips_m, qa_new, data_m).reshape(B, I, S)
+                tips_bis = tips_m.reshape(B, I, S, T * 7)
 
-            # exact species fitness + sort (reference :608-617)
-            qa_new = genes[:V, :M].T                              # (M, V)
-            f = fitness_lanes(qa_new).reshape(B, I, S)
+            qa_bis = unlane(genes[:V], V)                        # (B,I,S,V)
             improved = f != sfit
-            swap = f[..., 1] < f[..., 0]                          # S = 2
+
+            # incumbent update from BOTH species (reference :640-644 after
+            # sort — equivalent to taking the per-island min)
+            s_best = jnp.argmin(f, axis=-1)                      # (B, I)
+            bi, ii = jnp.meshgrid(jnp.arange(B), jnp.arange(I), indexing="ij")
+            f_best = f[bi, ii, s_best]
+            better = f_best < sol_fit
+            solution = jnp.where(
+                better[..., None], qa_bis[bi, ii, s_best], solution
+            )
+            sol_tips = jnp.where(
+                better[..., None, None],
+                tips_bis[bi, ii, s_best].reshape(B, I, T, 7),
+                sol_tips,
+            )
+            sol_fit = jnp.where(better, f_best, sol_fit)
+
+            # species sort (S = 2 compare-swap; reference :617)
+            swap = f[..., 1] < f[..., 0]
 
             def sswap(x):
-                # x (R, Mp) viewed (R, B, I, S): swap the species pair
                 xr = x[:, :M].reshape(-1, B, I, S)
                 xs = jnp.where(swap[None, :, :, None], xr[..., ::-1], xr)
                 return jnp.pad(xs.reshape(-1, M), ((0, 0), (0, Mp - M)))
@@ -259,8 +332,9 @@ class FusedBio2Engine:
 
             gr = genes[:, :M].reshape(_P, V, B, I, S)
             rg = jnp.transpose(rand_genes, (2, 0, 1))             # (V, B, I)
-            new_s1 = jnp.where(wipe[None, None, :, :], rg[None], gr[..., 1])
-            gr = gr.at[..., 1].set(new_s1)
+            gr = gr.at[..., 1].set(
+                jnp.where(wipe[None, None, :, :], rg[None], gr[..., 1])
+            )
             genes = jnp.pad(gr.reshape(_P * V, M), ((0, 0), (0, Mp - M)))
             rr = grads[:, :M].reshape(_P, V, B, I, S)
             rr = rr.at[..., 1].set(
@@ -268,24 +342,22 @@ class FusedBio2Engine:
             )
             grads = jnp.pad(rr.reshape(_P * V, M), ((0, 0), (0, Mp - M)))
 
-            # incumbent update (reference :640-644)
-            cand = genes[:V, :M].reshape(V, B, I, S)[..., 0]      # (V, B, I)
-            cand = jnp.transpose(cand, (1, 2, 0))                 # (B, I, V)
-            better = f[..., 0] < sol_fit
-            solution = jnp.where(better[..., None], cand, solution)
-            sol_fit = jnp.where(better, f[..., 0], sol_fit)
-            return (genes, grads, f, solution, sol_fit), None
+            return (genes, grads, f, solution, sol_fit, sol_tips), None
 
         # ---- chunked run with acceptance checks (ik_parallel.h:160-261) --
         spc = max(1, min(cfg.steps_per_check, cfg.max_steps))
         nchecks = max(1, cfg.max_steps // spc)
 
-        def eval_islands(solution, sol_fit):
+        def eval_islands(solution, sol_fit, sol_tips):
             """Winner per scenario among islands (api._eval_islands,
-            vectorized over B)."""
+            vectorized over B) — tips come from the stored incumbent
+            frames (exact FK, computed in-kernel)."""
             qa = solution.reshape(B * I, V)
-            tips = ctx.tips_frame(data_bi["seed_full"], qa)
-            ok = p.check_solution(tips, qa, data_bi).reshape(B, I)
+            tf = Frame(
+                pos=sol_tips.reshape(B * I, T, 7)[..., 0:3],
+                quat=sol_tips.reshape(B * I, T, 7)[..., 3:7],
+            )
+            ok = p.check_solution(tf, qa, data_bi).reshape(B, I)
             fit = sol_fit
             any_ok = jnp.any(ok, axis=1, keepdims=True)
             sel = jnp.where(ok == any_ok, fit, jnp.inf)
@@ -306,8 +378,8 @@ class FusedBio2Engine:
                 jnp.where(take, kk, b_key),
             )
 
-        carry = (genes, grads, sfit, solution, sol_fit)
-        best = eval_islands(solution, sol_fit)
+        carry = (genes, grads, sfit, solution, sol_fit, sol_tips)
+        best = eval_islands(solution, sol_fit, sol_tips)
         # one engine-level step-key stream derived from the first batch
         # key; per-lane independence comes from the lane axis of each
         # draw, so a single stream suffices (and keeps the whole run
@@ -319,8 +391,8 @@ class FusedBio2Engine:
         def chunk(carry_best, ks):
             carry, best = carry_best
             carry, _ = jax.lax.scan(step, carry, ks)
-            _, _, _, solution, sol_fit = carry
-            best = merge(best, eval_islands(solution, sol_fit))
+            _, _, _, solution, sol_fit, sol_tips = carry
+            best = merge(best, eval_islands(solution, sol_fit, sol_tips))
             return (carry, best), None
 
         (carry, best), _ = jax.lax.scan(chunk, (carry, best), kstream)
