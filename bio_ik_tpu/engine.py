@@ -27,7 +27,6 @@ qualifies (see :func:`FusedBio2Engine.supports`).
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import numpy as np
@@ -45,7 +44,7 @@ _S = 2   # species per island (reference: ik_evolution_2.cpp:141)
 _P = 2
 _C = 16
 _WIPEOUT_P = 0.1
-_MAX_FUSED_VARS = 16  # unroll guard: larger robots use the vmapped path
+_MAX_FUSED_VARS = 24  # unroll guard: larger robots use the vmapped path
 
 _MEMETIC_OF_MODE = {"bio2": "", "bio2_memetic": "q", "bio2_memetic_l": "l"}
 
@@ -84,11 +83,16 @@ class FusedBio2Engine:
         tip_idx = [model.link_index[t] for t in p.tip_links]
         self.fullstep = supports_fullstep_chain(model, tip_idx)
         inst_tip = [g[2] for g in self.ginst]
+        self.inkernel_rng = False
         if self.fullstep:
             if use_pallas:
+                # real TPU: generate mutation noise on-chip (see
+                # make_fullstep_kernel); interpret mode keeps host noise
+                self.inkernel_rng = not interpret
                 self.kernel, self.n_fix = make_fullstep_kernel(
                     model, p.tip_links, p.active_vars, inst_tip, self.sp,
                     block_n=block_n, interpret=interpret,
+                    inkernel_rng=self.inkernel_rng,
                 )
             else:
                 inner, self.n_fix = make_fullstep_inner(
@@ -261,15 +265,25 @@ class FusedBio2Engine:
             genes, grads, sfit, solution, sol_fit, sol_tips = carry
             k_noise, k_rate, k_wipe_p, k_wipe_g = jax.random.split(key, 4)
 
-            noise = jax.random.normal(k_noise, (gens, V, C, Mp), dt)
-            k_exp = jax.random.randint(k_rate, (gens, C, Mp), 0, 16)
-            rates = jnp.exp2(k_exp.astype(dt) - 23.0)
+            if not (self.fullstep and self.inkernel_rng):
+                noise = jax.random.normal(k_noise, (gens, V, C, Mp), dt)
+                k_exp = jax.random.randint(k_rate, (gens, C, Mp), 0, 16)
+                rates = jnp.exp2(k_exp.astype(dt) - 23.0)
 
             if self.fullstep:
-                genes, grads, tips_rows, fit_row = self.kernel(
-                    genes, grads, qfix, gpos, gquat, wpos, wrot,
-                    span, cmin, cmax, noise, rates,
-                )
+                if self.inkernel_rng:
+                    seed = jax.random.key_data(k_noise)[..., 0].astype(
+                        jnp.int32
+                    ).reshape(1, 1)
+                    genes, grads, tips_rows, fit_row = self.kernel(
+                        seed, genes, grads, qfix, gpos, gquat, wpos, wrot,
+                        span, cmin, cmax,
+                    )
+                else:
+                    genes, grads, tips_rows, fit_row = self.kernel(
+                        genes, grads, qfix, gpos, gquat, wpos, wrot,
+                        span, cmin, cmax, noise, rates,
+                    )
                 f = unlane(fit_row, 1)[..., 0]                   # (B, I, S)
                 tips_bis = unlane(tips_rows, T * 7)              # (B,I,S,T·7)
             else:

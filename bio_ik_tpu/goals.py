@@ -19,8 +19,8 @@ compile time (the reference normalizes in setters and constructors).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
 
 __all__ = [
     "Goal",

@@ -21,7 +21,7 @@ zero delta components and constant chain prefixes cost nothing.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax
@@ -272,8 +272,16 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
 
 def make_fullstep_kernel(model, tip_links, active_vars, inst_tip,
                          sp: SpeciesParams, block_n: int = 256,
-                         interpret: bool = False):
+                         interpret: bool = False, inkernel_rng: bool = False):
     """Pallas wrapper of :func:`make_fullstep_inner` blocked over lanes.
+
+    With ``inkernel_rng``, the gaussian mutation noise and the mutation-
+    rate ladder are generated inside the kernel from the TPU per-core
+    PRNG (Box–Muller over ``pltpu.prng_random_bits``; rates built
+    directly from exponent bits) — the on-chip analog of the reference's
+    precomputed 8M-entry noise ring buffers (ik_base.h:49-126), saving
+    the gens·V·C noise tensor's HBM round trip per step.  The caller
+    then passes a ``(1, 1)`` int32 seed instead of noise/rates arrays.
 
     Returns ``(fn, F)`` where F is the number of fixed-variable rows the
     caller must supply (``qfix (max(F,1), N)`` — a dummy row when F=0).
@@ -286,41 +294,90 @@ def make_fullstep_kernel(model, tip_links, active_vars, inst_tip,
     W = block_n
     Fq = max(F, 1)
 
-    def kernel(genes_ref, grads_ref, qfix_ref, gpos_ref, gquat_ref,
-               wpos_ref, wrot_ref, span_ref, cmin_ref, cmax_ref,
-               noise_ref, rates_ref,
-               genes_out_ref, grads_out_ref, tips_out_ref, fit_out_ref):
+    def body(noise, rates, genes_ref, grads_ref, qfix_ref, gpos_ref,
+             gquat_ref, wpos_ref, wrot_ref, span_ref, cmin_ref, cmax_ref,
+             genes_out_ref, grads_out_ref, tips_out_ref, fit_out_ref):
         g, r, t, f = inner(
             genes_ref[:], grads_ref[:], qfix_ref[:],
             gpos_ref[:], gquat_ref[:], wpos_ref[:], wrot_ref[:],
             span_ref[:], cmin_ref[:], cmax_ref[:],
-            noise_ref[:], rates_ref[:],
+            noise, rates,
         )
         genes_out_ref[:] = g
         grads_out_ref[:] = r
         tips_out_ref[:] = t
         fit_out_ref[:] = f
 
+    if inkernel_rng:
+        def kernel(seed_ref, genes_ref, grads_ref, qfix_ref, gpos_ref,
+                   gquat_ref, wpos_ref, wrot_ref, span_ref, cmin_ref,
+                   cmax_ref, genes_out_ref, grads_out_ref, tips_out_ref,
+                   fit_out_ref):
+            pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+            shape = (sp.gens, V, C, W)
+            b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            f32 = jnp.float32
+            # Box–Muller: u ∈ (2⁻²⁵, 1] from the top 24 bits
+            inv24 = jnp.asarray(1.0 / (1 << 24), f32)
+            # Mosaic lacks a uint32→f32 cast; the top-24-bit values fit
+            # int32, so bitcast first
+            i1 = pltpu.bitcast(b1 >> 8, jnp.int32)
+            i2 = pltpu.bitcast(b2 >> 8, jnp.int32)
+            u1 = i1.astype(f32) * inv24 + jnp.asarray(2.0 ** -25, f32)
+            u2 = i2.astype(f32) * inv24
+            rad = jnp.sqrt(-2.0 * jnp.log(u1))
+            noise = rad * jnp.cos(jnp.asarray(2.0 * np.pi, f32) * u2)
+            # rate = 2^(k−23), k ∈ [0,16): exponent-bits construction
+            kb = pltpu.bitcast(
+                pltpu.prng_random_bits((sp.gens, C, W)), jnp.uint32
+            ) & jnp.uint32(15)
+            rates = pltpu.bitcast(
+                ((kb + jnp.uint32(104)) << 23).astype(jnp.uint32), f32
+            )
+            body(noise, rates, genes_ref, grads_ref, qfix_ref, gpos_ref,
+                 gquat_ref, wpos_ref, wrot_ref, span_ref, cmin_ref,
+                 cmax_ref, genes_out_ref, grads_out_ref, tips_out_ref,
+                 fit_out_ref)
+    else:
+        def kernel(genes_ref, grads_ref, qfix_ref, gpos_ref, gquat_ref,
+                   wpos_ref, wrot_ref, span_ref, cmin_ref, cmax_ref,
+                   noise_ref, rates_ref,
+                   genes_out_ref, grads_out_ref, tips_out_ref, fit_out_ref):
+            body(noise_ref[:], rates_ref[:], genes_ref, grads_ref, qfix_ref,
+                 gpos_ref, gquat_ref, wpos_ref, wrot_ref, span_ref,
+                 cmin_ref, cmax_ref, genes_out_ref, grads_out_ref,
+                 tips_out_ref, fit_out_ref)
+
     def spec2(rows):
         return pl.BlockSpec((rows, W), lambda i: (0, i), memory_space=pltpu.VMEM)
 
-    in_specs = [
+    data_specs = [
         spec2(_P * V), spec2(_P * V), spec2(Fq),
         spec2(K * 3), spec2(K * 4), spec2(K), spec2(K),
         spec2(V), spec2(V), spec2(V),
-        pl.BlockSpec((sp.gens, V, C, W), lambda i: (0, 0, 0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((sp.gens, C, W), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),
     ]
+    if inkernel_rng:
+        in_specs = [
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        ] + data_specs
+    else:
+        in_specs = data_specs + [
+            pl.BlockSpec((sp.gens, V, C, W), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sp.gens, C, W), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ]
     out_specs = (spec2(_P * V), spec2(_P * V), spec2(T * 7), spec2(1))
 
     evals = sp.gens * (C + _P) + (sp.mem_iters * 4 if sp.memetic else 0)
     flops_per_lane = evals * (K * 7 * V * 2 + K * 30) + 900
+    nlinks = len(model.link_schedule(
+        [model.link_index[t] for t in tip_links]))
 
     @jax.jit
-    def run(genes, grads, qfix, gpos, gquat, wpos, wrot,
-            span, cmin, cmax, noise, rates):
+    def run(*args):
+        genes = args[1] if inkernel_rng else args[0]
         N = genes.shape[-1]
         if N % W:
             raise ValueError(f"lane batch {N} not a multiple of {W}")
@@ -339,11 +396,11 @@ def make_fullstep_kernel(model, tip_links, active_vars, inst_tip,
                 flops=flops_per_lane * N,
                 bytes_accessed=4 * N * (sp.gens * V * C + sp.gens * C
                                         + 4 * _P * V + 3 * V + Fq),
-                transcendentals=2 * len(model.link_schedule(
-                    [model.link_index[t] for t in tip_links])) * N,
+                transcendentals=(2 * nlinks
+                                 + (3 * sp.gens * V * C if inkernel_rng else 0)
+                                 ) * N,
             ),
             interpret=interpret,
-        )(genes, grads, qfix, gpos, gquat, wpos, wrot,
-          span, cmin, cmax, noise, rates)
+        )(*args)
 
     return run, F

@@ -33,10 +33,8 @@ against the pure-jnp evaluation of identical inputs.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

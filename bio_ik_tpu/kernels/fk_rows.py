@@ -20,15 +20,14 @@ Supported joint types: FIXED, REVOLUTE, PRISMATIC (+ mimic of an active
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence
+from typing import List, Sequence
 
-import numpy as np
 import jax.numpy as jnp
 
 from ..robot.model import RobotModel
 from ..robot.urdf import FIXED, PRISMATIC, REVOLUTE
 
-__all__ = ["make_fk_rows", "supports_fullstep_chain"]
+__all__ = ["FkRows", "supports_fullstep_chain"]
 
 
 def _qmul(a, b):

@@ -29,10 +29,9 @@ the Jacobian tip-locally and rotates into world):
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, List, Sequence
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..math.frame import Frame

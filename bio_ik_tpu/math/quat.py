@@ -15,7 +15,6 @@ Convention notes:
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import lax
 
 __all__ = [
     "quat_identity",

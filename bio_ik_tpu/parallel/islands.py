@@ -127,24 +127,41 @@ def make_sharded_batch_solve(iksolver, mesh: Mesh, axis: str = "data"):
     """Throughput mode: scenario batch sharded over the mesh; each device
     solves its local shard of queries (islands vmapped locally).
 
+    When the solver has a fused engine (bio2 family, see
+    ``bio_ik_tpu.engine``), each device runs the fused kernel pipeline on
+    its local shard under ``shard_map`` — the multi-chip scaling path of
+    the headline benchmark.  No cross-device collectives are needed:
+    every query's islands stay on one device.
+
     Returns ``fn(keys (B,2), data) -> IKResult`` with B divisible by the
     mesh size; every leaf of ``data`` must carry the leading B axis.
     """
     n = mesh.shape[axis]
     batch_sharding = NamedSharding(mesh, P(axis))
 
-    @partial(jax.jit, out_shardings=batch_sharding)
-    def run(keys, data):
-        keys = jax.lax.with_sharding_constraint(keys, batch_sharding)
-        data = jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(x, batch_sharding), data
+    if iksolver.engine is not None:
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
         )
-        return jax.vmap(iksolver._solve)(keys, data)
+        def run(keys, data):
+            return iksolver.engine._solve_batch(keys, data)
+    else:
+        @partial(jax.jit, out_shardings=batch_sharding)
+        def run(keys, data):
+            keys = jax.lax.with_sharding_constraint(keys, batch_sharding)
+            data = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, batch_sharding), data
+            )
+            return jax.vmap(iksolver._solve)(keys, data)
 
     def solve(keys, data):
         B = keys.shape[0]
         if B % n:
             raise ValueError(f"batch {B} not divisible by mesh size {n}")
-        return run(keys, data)
+        return jax.jit(run)(keys, data)
 
     return solve

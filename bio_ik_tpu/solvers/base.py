@@ -14,7 +14,7 @@ keys carried in the state; `thread_index`-dependent random initialization
 
 from __future__ import annotations
 
-from typing import Callable, Dict, NamedTuple, Optional, Type
+from typing import Callable, Dict
 
 import numpy as np
 import jax

@@ -18,11 +18,10 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..math.frame import Frame, frame_twist
+from ..math.frame import Frame
 from .base import Solver, SolverContext, register_solver
 
 __all__ = ["JacobianSolver"]

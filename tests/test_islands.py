@@ -130,3 +130,36 @@ def test_elite_migration_single_chip(setup, rng):
     res = s2.solve(jnp.asarray(m.neutral_q()), key=jax.random.PRNGKey(0), data=data)
     seed_fit = float(s2.ctx.fitness_exact(data["seed_active"], data))
     assert float(res.fitness) < seed_fit
+
+
+def test_make_pod_mesh_helpers():
+    """Multi-host mesh construction helpers (SURVEY §5.8 backend slot)."""
+    from bio_ik_tpu.parallel.distributed import local_batch_slice, make_pod_mesh
+
+    mesh = make_pod_mesh()
+    assert mesh.shape[next(iter(mesh.shape))] == 8
+    mesh2 = make_pod_mesh(("data", "islands"), (4, 2))
+    assert mesh2.shape["data"] == 4 and mesh2.shape["islands"] == 2
+    with pytest.raises(ValueError):
+        make_pod_mesh(("data",), (7,))
+    s = local_batch_slice(64, 8, process_index=0)
+    assert s == slice(0, 64)  # single-process: whole batch
+
+
+def test_batch_sharded_solve_engine_path(setup, rng):
+    """Engine-routed scenario sharding (fused kernel per device shard)."""
+    m, fk, s = setup
+    assert s.engine is not None
+    B = 16
+    mesh = default_mesh("data")
+    solve = make_sharded_batch_solve(s, mesh)
+    qg = random_q(m, rng, B)
+    tg = fk(jnp.asarray(qg))
+    data0 = s.make_data(jnp.asarray(m.neutral_q()))
+    data = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), data0)
+    data["primary"][0]["position"] = tg.pos
+    data["primary"][0]["orientation"] = tg.quat
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    res = solve(keys, data)
+    assert res.q.shape == (B, m.nvars)
+    assert np.all(np.isfinite(np.asarray(res.fitness)))

@@ -153,3 +153,118 @@ def test_engine_respects_position_only_goals(arm, arm_fk, rng):
         np.asarray(t2.pos)[:, 0] - np.asarray(tg.pos)[:, 0], axis=-1
     )
     assert np.median(errs) < 5e-3, errs
+
+
+# ---- fullstep kernel (bio_ik_tpu/kernels/bio2_fullstep.py) ---------------
+
+
+def test_fk_rows_matches_kinematics_fk(arm, rng):
+    """Row-level in-kernel FK (fk_rows) vs the XLA FK on random configs."""
+    from bio_ik_tpu.kernels.fk_rows import FkRows
+
+    fkr = FkRows(arm, [TIP], list(range(arm.nvars)))
+    assert fkr.fixed_vars == []
+    N = 32
+    q = random_q(arm, rng, N).astype(np.float32)
+    xrows = [jnp.asarray(q[:, v][None, :]) for v in range(arm.nvars)]
+    fr = fkr.frames(xrows, [])
+    pos, quat = fkr.tips(fr)[0]
+    ref = make_fk(arm, [TIP])(jnp.asarray(q))
+    for d in range(3):
+        np.testing.assert_allclose(
+            np.asarray(pos[d])[0], np.asarray(ref.pos)[:, 0, d], atol=1e-5
+        )
+    for d in range(4):
+        np.testing.assert_allclose(
+            np.asarray(quat[d])[0], np.asarray(ref.quat)[:, 0, d], atol=1e-5
+        )
+
+
+def test_fk_rows_deltas_match_linearizer(arm, rng):
+    from bio_ik_tpu.kernels.fk_rows import FkRows
+    from bio_ik_tpu.kinematics import make_linearizer
+
+    V = arm.nvars
+    fkr = FkRows(arm, [TIP], list(range(V)))
+    N = 16
+    q = random_q(arm, rng, N).astype(np.float32)
+    xrows = [jnp.asarray(q[:, v][None, :]) for v in range(V)]
+    dts = fkr.deltas(fkr.frames(xrows, []))
+    _, dl = make_linearizer(arm, [TIP], list(range(V)))(jnp.asarray(q))
+    for v in range(V):
+        dv = dts[v][0]
+        for d in range(7):
+            comp = dv[0][d] if d < 3 else dv[1][d - 3]
+            refc = np.asarray(dl)[:, 0, v, d]
+            got = np.full(N, comp) if isinstance(comp, float) else np.asarray(comp)[0]
+            np.testing.assert_allclose(got, refc, atol=1e-4)
+
+
+def test_fullstep_inner_matches_pallas_interpret(arm):
+    """Fullstep Pallas (interpret) vs the plain-jnp inner, bitwise."""
+    from bio_ik_tpu.kernels.bio2_fullstep import (
+        make_fullstep_inner,
+        make_fullstep_kernel,
+    )
+
+    V = arm.nvars
+    sp = SpeciesParams(V=V, K=1, C=4, gens=2, mem_iters=2, memetic="q")
+    inner, F = make_fullstep_inner(arm, [TIP], list(range(V)), [0], sp)
+    kfn, F2 = make_fullstep_kernel(arm, [TIP], list(range(V)), [0], sp,
+                                   block_n=128, interpret=True)
+    assert F == F2 == 0
+    N = 128
+    rng = np.random.default_rng(3)
+
+    def r(*shape, scale=1.0):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+    b = arm._np_bounds
+    qmid = ((b["min"] + b["max"]) / 2).astype(np.float32)
+    genes = jnp.asarray(np.tile(qmid, 2)[:, None] + rng.normal(
+        size=(2 * V, N)).astype(np.float32) * 0.1)
+    args = (
+        genes, r(2 * V, N, scale=0.01), jnp.zeros((1, N), jnp.float32),
+        r(3, N), r(4, N), jnp.abs(r(1, N)), jnp.abs(r(1, N)),
+        jnp.abs(r(V, N)) + 1.0,
+        jnp.asarray(np.tile(b["clip_min"].astype(np.float32)[:, None], (1, N))),
+        jnp.asarray(np.tile(b["clip_max"].astype(np.float32)[:, None], (1, N))),
+        r(sp.gens, V, sp.C, N), jnp.abs(r(sp.gens, sp.C, N, scale=1e-4)),
+    )
+    g1, r1, t1, f1 = jax.jit(inner)(*args)
+    g2, r2, t2, f2 = kfn(*args)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_engine_uses_fullstep_for_pr2(arm):
+    s = IKSolver(arm, [G.PoseGoal(link=TIP)],
+                 SolverConfig(mode="bio2_memetic", max_steps=4))
+    assert s.engine is not None and s.engine.fullstep
+
+
+def test_adaptive_on_device_pipeline(arm, arm_fk, rng):
+    """Single-program multi-phase retry with on-device failure compaction."""
+    from bio_ik_tpu.api import AdaptiveBatchSolver
+
+    B = 8
+    s = AdaptiveBatchSolver(
+        arm, [G.PoseGoal(link=TIP)],
+        SolverConfig(mode="bio2_memetic", dtwist=1e-3),
+        phases=((1, 4), (2, 16)), fractions=(0.75,),
+    )
+    assert s._fused_adaptive is not None
+    qg = random_q(arm, rng, B)
+    tg = arm_fk(jnp.asarray(qg))
+    data0 = s.make_data(jnp.asarray(arm.neutral_q()))
+    data = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), data0)
+    data["primary"][0]["position"] = tg.pos
+    data["primary"][0]["orientation"] = tg.quat
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    res = s.solve_batch(keys, data)
+    t2 = arm_fk(res.q)
+    errs = np.linalg.norm(
+        np.asarray(t2.pos)[:, 0] - np.asarray(tg.pos)[:, 0], axis=-1
+    )
+    assert np.median(errs) < 1e-2, errs

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Multi-config benchmark suite (the BASELINE.json config list).
+
+Runs the FK-IK-FK throughput harness on every bundled robot config and
+prints one JSON line per config.  ``bench.py`` at the repo root remains
+the single-line headline benchmark; this is the coverage sweep:
+
+  * PR2 right arm, 7 DOF, single pose goal (headline, fused fullstep)
+  * UR5, 6 DOF, single pose goal (fused fullstep)
+  * PR2 dual-arm, 17 DOF, two pose goals (fused fullstep, multi-tip)
+  * snake-32, 32 DOF, position goal (vmapped XLA path — over the fused
+    unroll guard; approximate convergence config)
+
+Usage: ``python tools/bench_suite.py`` (on the TPU chip).
+BENCH_BATCH overrides the batch size (default 2048).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import bio_ik_tpu.goals as G
+from bio_ik_tpu import RobotModel, asset_path
+from bio_ik_tpu.api import AdaptiveBatchSolver, IKSolver
+from bio_ik_tpu.config import SolverConfig
+from bio_ik_tpu.kinematics import make_fk
+
+B = int(os.environ.get("BENCH_BATCH", "2048"))
+
+
+def run_config(name, urdf, tips, goals, cfg, pos_tol, batch=None,
+               adaptive=True, phases=((1, 8), (2, 32), (4, 64))):
+    batch = batch or B
+    m = RobotModel.from_urdf_file(asset_path(urdf))
+    fk = jax.jit(make_fk(m, tips))
+    rng = np.random.default_rng(0)
+    b = m._np_bounds
+    qg = rng.uniform(b["min"], b["max"], size=(batch, m.nvars)).astype(np.float32)
+    tg = fk(jnp.asarray(qg))
+
+    if adaptive:
+        s = AdaptiveBatchSolver(m, goals, cfg, phases=phases)
+    else:
+        s = IKSolver(m, goals, cfg)
+    data0 = s.make_data(jnp.asarray(m.neutral_q()))
+    data = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), data0)
+    gi = 0
+    for i, grp in enumerate(s.problem.primary):
+        for k in range(grp.count):
+            slot = int(grp.tip_slots[k])
+            if "position" in data["primary"][i]:
+                data["primary"][i]["position"] = (
+                    data["primary"][i]["position"].at[:, k].set(tg.pos[:, slot])
+                )
+            if "orientation" in data["primary"][i]:
+                data["primary"][i]["orientation"] = (
+                    data["primary"][i]["orientation"].at[:, k].set(tg.quat[:, slot])
+                )
+            gi += 1
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+
+    res = s.solve_batch(keys, data)
+    res.q.block_until_ready()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = s.solve_batch(keys, data)
+        res.q.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    t2 = fk(res.q)
+    perr = np.linalg.norm(
+        np.asarray(t2.pos) - np.asarray(tg.pos), axis=-1
+    ).max(axis=-1)  # worst tip per problem
+    success = float(np.asarray(res.success).mean())
+    solved = float((perr < pos_tol).mean())
+    print(json.dumps({
+        "config": name,
+        "solves_per_sec": round(batch * success / dt, 1),
+        "success_rate": round(success, 4),
+        f"frac_pos_err<{pos_tol}": round(solved, 4),
+        "median_pos_err_m": float(np.median(perr)),
+        "batch": batch,
+        "batch_time_ms": round(dt * 1e3, 2),
+        "dof": m.nvars,
+        "engine": "fused" if getattr(s, "_fused_adaptive", None) is not None
+                  or getattr(s, "engine", None) is not None else "vmap",
+    }), flush=True)
+
+
+def main():
+    run_config(
+        "pr2_arm_pose", "pr2_arm.urdf", ["r_gripper_tool_frame"],
+        [G.PoseGoal(link="r_gripper_tool_frame")],
+        SolverConfig(mode="bio2_memetic", dtwist=1e-3), 1e-3,
+    )
+    run_config(
+        "ur5_pose", "ur5.urdf", ["tool0"],
+        [G.PoseGoal(link="tool0")],
+        SolverConfig(mode="bio2_memetic", dtwist=1e-3), 1e-3,
+    )
+    run_config(
+        "pr2_dual_pose2", "pr2_dual.urdf",
+        ["r_gripper_tool_frame", "l_gripper_tool_frame"],
+        [G.PoseGoal(link="r_gripper_tool_frame"),
+         G.PoseGoal(link="l_gripper_tool_frame")],
+        SolverConfig(mode="bio2_memetic", dtwist=1e-3), 1e-3,
+    )
+    run_config(
+        "snake32_position", "snake.urdf", ["head"],
+        [G.PositionGoal(link="head")],
+        SolverConfig(mode="bio2_memetic", dpos=5e-3, dtwist=float("inf"),
+                     max_steps=16),
+        5e-3, batch=min(B, 512), adaptive=False,
+    )
+
+
+if __name__ == "__main__":
+    main()
