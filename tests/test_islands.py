@@ -87,7 +87,7 @@ def test_graft_entry_compiles():
 
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
-    assert np.isfinite(float(out.fitness))
+    assert np.all(np.isfinite(np.asarray(out.fitness)))
 
 
 def test_graft_dryrun_multichip():
