@@ -65,9 +65,14 @@ class AdaptiveBatchSolver:
                 for i in range(len(phases) - 1)
             )
         self.fractions = fractions
+        # each phase checks acceptance once, at its end (steps_per_check =
+        # max_steps): phases are retry escalations, not latency races, so
+        # intermediate checks only add launches — the in-kernel incumbent
+        # is monotone in fitness and is what the final check evaluates
         self.solvers = [
             IKSolver(model, goal_list,
-                     config.replace(islands=i, max_steps=s), **kwargs)
+                     config.replace(islands=i, max_steps=s,
+                                    steps_per_check=s), **kwargs)
             for i, s in phases
         ]
         # when every phase has a fused engine, the whole multi-phase

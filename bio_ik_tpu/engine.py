@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from .kernels.bio2_step import SpeciesParams, make_species_inner, make_species_kernel
-from .kernels.bio2_fullstep import make_fullstep_inner, make_fullstep_kernel
+from .kernels.bio2_megastep import make_megastep_body, make_megastep_kernel
 from .kernels.fk_rows import supports_fullstep_chain
 from .math.frame import Frame
 
@@ -84,21 +84,50 @@ class FusedBio2Engine:
         self.fullstep = supports_fullstep_chain(model, tip_idx)
         inst_tip = [g[2] for g in self.ginst]
         self.inkernel_rng = False
+        cfg = self.config
+        self.spc = max(1, min(cfg.steps_per_check, cfg.max_steps))
+        self.nchecks = max(1, cfg.max_steps // self.spc)
         if self.fullstep:
-            if use_pallas:
-                # real TPU: generate mutation noise on-chip (see
-                # make_fullstep_kernel); interpret mode keeps host noise
-                self.inkernel_rng = not interpret
-                self.kernel, self.n_fix = make_fullstep_kernel(
+            # megastep: the whole steps_per_check chunk — species steps,
+            # sort/wipeout, incumbent tracking — is ONE kernel launch.
+            # Launch count per solve is nchecks, not max_steps (each
+            # pallas launch interleaved with XLA ops costs ~3.5 ms of
+            # program-switch overhead on the tunneled TPU backend,
+            # measured; the in-kernel loop avoids it).
+            if use_pallas and not interpret:
+                self.inkernel_rng = True
+                self.mega, self.n_fix = make_megastep_kernel(
                     model, p.tip_links, p.active_vars, inst_tip, self.sp,
-                    block_n=block_n, interpret=interpret,
-                    inkernel_rng=self.inkernel_rng,
+                    n_steps=self.spc, block_n=block_n, inkernel_rng=True,
                 )
             else:
-                inner, self.n_fix = make_fullstep_inner(
-                    model, p.tip_links, p.active_vars, inst_tip, self.sp
+                body, self.n_fix = make_megastep_body(
+                    model, p.tip_links, p.active_vars, inst_tip, self.sp,
+                    n_steps=self.spc, use_pltpu_roll=False,
                 )
-                self.kernel = jax.jit(inner)
+                sp = self.sp
+
+                def mega_jnp(key, genes, grads, sfit, sol, sol_fit,
+                             sol_tips, *consts):
+                    N = genes.shape[-1]
+                    f32 = genes.dtype
+
+                    def draw(i):
+                        k = jax.random.fold_in(key, i)
+                        k1, k2, k3, k4 = jax.random.split(k, 4)
+                        noise = jax.random.normal(
+                            k1, (sp.gens, sp.V, sp.C, N), f32)
+                        kexp = jax.random.randint(
+                            k2, (sp.gens, sp.C, N), 0, 16)
+                        rates = jnp.exp2(kexp.astype(f32) - 23.0)
+                        wu = jax.random.uniform(k3, (1, N), f32)
+                        wg = jax.random.uniform(k4, (sp.V, N), f32)
+                        return noise, rates, wu, wg
+
+                    return body((genes, grads, sfit, sol, sol_fit,
+                                 sol_tips), consts, draw)
+
+                self.mega = jax.jit(mega_jnp)
             from .kernels.fk_rows import FkRows
 
             self.fixed_vars = FkRows(
@@ -260,51 +289,123 @@ class FusedBio2Engine:
         def unlane(x, R):
             return x[:, :M].T.reshape(B, I, S, R)
 
-        # ---- one fused step ----------------------------------------------
+        def merge(best, cand):
+            b_qa, b_fit, b_ok, b_key = best
+            qa, fit, ok, kk = cand
+            take = (ok & ~b_ok) | ((ok == b_ok) & (kk < b_key))
+            return (
+                jnp.where(take[..., None], qa, b_qa),
+                jnp.where(take, fit, b_fit),
+                jnp.where(take, ok, b_ok),
+                jnp.where(take, kk, b_key),
+            )
+
+        if self.fullstep:
+            # ---- megastep path: one kernel launch per acceptance chunk —
+            # solver state stays in the (rows, lanes) kernel layout across
+            # the whole solve; incumbents are tracked per LANE in-kernel
+            # and the winner reduction below checks every island × species
+            # incumbent (a superset of the reference's per-island checks).
+            amin = jnp.broadcast_to(p.amin[:, None], (V, Mp)).astype(dt)
+            amax = jnp.broadcast_to(p.amax[:, None], (V, Mp)).astype(dt)
+            seed_tips_b = jnp.concatenate(
+                [seed_tips_f.pos, seed_tips_f.quat], -1)          # (B,T,7)
+            sfit_r = jnp.full((1, Mp), jnp.inf, dt)
+            sol_r = to_lanes(seed_bis)                            # (V, Mp)
+            sol_fit_r = to_lanes(
+                jnp.broadcast_to(f0[:, None, None, None], (B, I, S, 1)))
+            sol_tips_r = to_lanes(jnp.broadcast_to(
+                seed_tips_b.reshape(B, 1, 1, T * 7), (B, I, S, T * 7)))
+
+            L = I * S
+            data_bl = jax.tree.map(
+                lambda x: jnp.broadcast_to(
+                    x[:, None], (B, L) + x.shape[1:]
+                ).reshape((B * L,) + x.shape[1:]),
+                data,
+            )
+
+            def eval_lanes(sol_r, sol_fit_r, sol_tips_r):
+                """Winner per scenario among all island × species lane
+                incumbents (reference: ik_parallel.h:220-261)."""
+                qa = unlane(sol_r, V).reshape(B * L, V)
+                tips = unlane(sol_tips_r, T * 7).reshape(B * L, T, 7)
+                tf = Frame(pos=tips[..., 0:3], quat=tips[..., 3:7])
+                ok = p.check_solution(tf, qa, data_bl).reshape(B, L)
+                fit = unlane(sol_fit_r, 1).reshape(B, L)
+                any_ok = jnp.any(ok, axis=1, keepdims=True)
+                sel = jnp.where(ok == any_ok, fit, jnp.inf)
+                i = jnp.argmin(sel, axis=1)
+                bi = jnp.arange(B)
+                qa = qa.reshape(B, L, V)
+                # no secondary goals on the fast path ⇒ rank key ==
+                # primary fitness (api._eval_islands)
+                return qa[bi, i], fit[bi, i], ok[bi, i], fit[bi, i]
+
+            best = eval_lanes(sol_r, sol_fit_r, sol_tips_r)
+            # one engine-level chunk-key stream (per-lane independence
+            # comes from the lane axis of each in-kernel draw)
+            master = jax.random.fold_in(keys[0], 0x5EED)
+            state = (genes, grads, sfit_r, sol_r, sol_fit_r, sol_tips_r)
+            consts = (qfix, gpos, gquat, wpos, wrot, span, cmin, cmax,
+                      amin, amax)
+            if self.inkernel_rng:
+                # TPU: unroll chunks at trace time — a pallas launch
+                # inside lax.scan reloads the kernel program every
+                # iteration on the tunneled backend (measured ~3.5 ms)
+                for c in range(self.nchecks):
+                    kc = jax.random.fold_in(master, c)
+                    seed32 = jax.random.key_data(kc)[..., 0].astype(
+                        jnp.int32).reshape(1, 1)
+                    state = self.mega(seed32, *state, *consts)
+                    best = merge(best,
+                                 eval_lanes(state[3], state[4], state[5]))
+            else:
+                # plain-jnp path (CPU tests/fallback): scan compiles the
+                # chunk body once — no pallas inside, no reload issue
+                def chunk_step(carry, c):
+                    state, best = carry
+                    kc = jax.random.fold_in(master, c)
+                    state = self.mega(kc, *state, *consts)
+                    best = merge(
+                        best, eval_lanes(state[3], state[4], state[5]))
+                    return (state, best), None
+
+                (state, best), _ = jax.lax.scan(
+                    chunk_step, (state, best), jnp.arange(self.nchecks))
+            qa_w, fit_w, ok_w, _ = best
+            qa_w = self.iksolver._rewrap(qa_w, data["seed_active"])
+            qfull_w = ctx.qfull(data["seed_full"], qa_w)
+            return IKResult(q=qfull_w, success=ok_w, fitness=fit_w, qa=qa_w)
+
+        # ---- one fused step (species-kernel path: floating/planar
+        # chains keep the XLA linearizer between launches) --------------
         def step(carry, key):
             genes, grads, sfit, solution, sol_fit, sol_tips = carry
             k_noise, k_rate, k_wipe_p, k_wipe_g = jax.random.split(key, 4)
 
-            if not (self.fullstep and self.inkernel_rng):
-                noise = jax.random.normal(k_noise, (gens, V, C, Mp), dt)
-                k_exp = jax.random.randint(k_rate, (gens, C, Mp), 0, 16)
-                rates = jnp.exp2(k_exp.astype(dt) - 23.0)
+            noise = jax.random.normal(k_noise, (gens, V, C, Mp), dt)
+            k_exp = jax.random.randint(k_rate, (gens, C, Mp), 0, 16)
+            rates = jnp.exp2(k_exp.astype(dt) - 23.0)
 
-            if self.fullstep:
-                if self.inkernel_rng:
-                    seed = jax.random.key_data(k_noise)[..., 0].astype(
-                        jnp.int32
-                    ).reshape(1, 1)
-                    genes, grads, tips_rows, fit_row = self.kernel(
-                        seed, genes, grads, qfix, gpos, gquat, wpos, wrot,
-                        span, cmin, cmax,
-                    )
-                else:
-                    genes, grads, tips_rows, fit_row = self.kernel(
-                        genes, grads, qfix, gpos, gquat, wpos, wrot,
-                        span, cmin, cmax, noise, rates,
-                    )
-                f = unlane(fit_row, 1)[..., 0]                   # (B, I, S)
-                tips_bis = unlane(tips_rows, T * 7)              # (B,I,S,T·7)
-            else:
-                # linearize at parent 0 in XLA (reference :341-346)
-                qa0 = genes[:V, :M].T                            # (M, V)
-                qfull = ctx.qfull(seed_full_m, qa0)
-                tips0_f, deltas_f = ctx.linearize(qfull)
-                tips0 = to_lanes(tips0_f[:, tip_slots, :].reshape(M, K * 7))
-                dsel = deltas_f[:, tip_slots, :, :]              # (M, K, V, 7)
-                deltas = to_lanes(
-                    jnp.transpose(dsel, (0, 2, 1, 3)).reshape(M, V * K * 7)
-                )
-                genes, grads = self.kernel(
-                    genes, grads, tips0, deltas, gpos, gquat, wpos, wrot,
-                    span, cmin, cmax, noise, rates,
-                )
-                qa_new = genes[:V, :M].T                         # (M, V)
-                tips_f = ctx.tips_frame(seed_full_m, qa_new)     # (M, T)
-                tips_m = jnp.concatenate([tips_f.pos, tips_f.quat], -1)
-                f = p.fitness(tips_m, qa_new, data_m).reshape(B, I, S)
-                tips_bis = tips_m.reshape(B, I, S, T * 7)
+            # linearize at parent 0 in XLA (reference :341-346)
+            qa0 = genes[:V, :M].T                            # (M, V)
+            qfull = ctx.qfull(seed_full_m, qa0)
+            tips0_f, deltas_f = ctx.linearize(qfull)
+            tips0 = to_lanes(tips0_f[:, tip_slots, :].reshape(M, K * 7))
+            dsel = deltas_f[:, tip_slots, :, :]              # (M, K, V, 7)
+            deltas = to_lanes(
+                jnp.transpose(dsel, (0, 2, 1, 3)).reshape(M, V * K * 7)
+            )
+            genes, grads = self.kernel(
+                genes, grads, tips0, deltas, gpos, gquat, wpos, wrot,
+                span, cmin, cmax, noise, rates,
+            )
+            qa_new = genes[:V, :M].T                         # (M, V)
+            tips_f = ctx.tips_frame(seed_full_m, qa_new)     # (M, T)
+            tips_m = jnp.concatenate([tips_f.pos, tips_f.quat], -1)
+            f = p.fitness(tips_m, qa_new, data_m).reshape(B, I, S)
+            tips_bis = tips_m.reshape(B, I, S, T * 7)
 
             qa_bis = unlane(genes[:V], V)                        # (B,I,S,V)
             improved = f != sfit
@@ -380,17 +481,6 @@ class FusedBio2Engine:
             # no secondary goals on the fast path ⇒ rank key == primary
             # fitness for both successes and failures (api._eval_islands)
             return solution[bi, i], fit[bi, i], ok[bi, i], fit[bi, i]
-
-        def merge(best, cand):
-            b_qa, b_fit, b_ok, b_key = best
-            qa, fit, ok, kk = cand
-            take = (ok & ~b_ok) | ((ok == b_ok) & (kk < b_key))
-            return (
-                jnp.where(take[..., None], qa, b_qa),
-                jnp.where(take, fit, b_fit),
-                jnp.where(take, ok, b_ok),
-                jnp.where(take, kk, b_key),
-            )
 
         carry = (genes, grads, sfit, solution, sol_fit, sol_tips)
         best = eval_islands(solution, sol_fit, sol_tips)

@@ -238,6 +238,70 @@ def test_fullstep_inner_matches_pallas_interpret(arm):
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
 
 
+def test_megastep_body_matches_pallas_interpret(arm):
+    """Megastep Pallas (interpret, host noise) vs the plain-jnp body,
+    bitwise — chunk of 2 steps incl. species swap/wipeout/incumbents."""
+    from bio_ik_tpu.kernels.bio2_megastep import (
+        make_megastep_body,
+        make_megastep_kernel,
+    )
+
+    V = arm.nvars
+    sp = SpeciesParams(V=V, K=1, C=4, gens=2, mem_iters=2, memetic="q")
+    nst = 2
+    body, F = make_megastep_body(
+        arm, [TIP], list(range(V)), [0], sp, nst, use_pltpu_roll=False)
+    kfn, F2 = make_megastep_kernel(
+        arm, [TIP], list(range(V)), [0], sp, nst,
+        block_n=128, interpret=True, inkernel_rng=False)
+    assert F == F2 == 0
+    N = 256
+    rng = np.random.default_rng(7)
+
+    def r(*shape, scale=1.0):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+    b = arm._np_bounds
+    qmid = ((b["min"] + b["max"]) / 2).astype(np.float32)
+    genes = jnp.asarray(np.tile(qmid, 2)[:, None] + rng.normal(
+        size=(2 * V, N)).astype(np.float32) * 0.1)
+    T7 = 7
+    state = (
+        genes, r(2 * V, N, scale=0.01),
+        jnp.full((1, N), np.inf, jnp.float32),        # sfit
+        genes[:V],                                    # sol
+        jnp.full((1, N), 1e30, jnp.float32),          # sol_fit
+        jnp.zeros((T7, N), jnp.float32),              # sol_tips
+    )
+    cmin = jnp.asarray(np.tile(b["clip_min"].astype(np.float32)[:, None],
+                               (1, N)))
+    cmax = jnp.asarray(np.tile(b["clip_max"].astype(np.float32)[:, None],
+                               (1, N)))
+    consts = (
+        jnp.zeros((1, N), jnp.float32),               # qfix (dummy)
+        r(3, N), r(4, N), jnp.abs(r(1, N)), jnp.abs(r(1, N)),
+        jnp.abs(r(V, N)) + 1.0, cmin, cmax, cmin, cmax,
+    )
+    noise = r(nst * sp.gens, V, sp.C, N)
+    rates = jnp.abs(r(nst * sp.gens, sp.C, N, scale=1e-4))
+    wu = jnp.asarray(rng.uniform(size=(nst, 1, N)).astype(np.float32))
+    wg = jnp.asarray(rng.uniform(size=(nst, V, N)).astype(np.float32))
+
+    def draw(i):
+        g0 = i * sp.gens
+        return (
+            jax.lax.dynamic_slice_in_dim(noise, g0, sp.gens, 0),
+            jax.lax.dynamic_slice_in_dim(rates, g0, sp.gens, 0),
+            jax.lax.dynamic_slice_in_dim(wu, i, 1, 0)[0],
+            jax.lax.dynamic_slice_in_dim(wg, i, 1, 0)[0],
+        )
+
+    out1 = jax.jit(lambda st, co: body(st, co, draw))(state, consts)
+    out2 = kfn(*state, *consts, noise, rates, wu, wg)
+    for a, b2 in zip(out1, out2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+
+
 def test_engine_uses_fullstep_for_pr2(arm):
     s = IKSolver(arm, [G.PoseGoal(link=TIP)],
                  SolverConfig(mode="bio2_memetic", max_steps=4))
