@@ -55,10 +55,13 @@ def run_config(name, urdf, tips, goals, cfg, pos_tol, batch=None,
         s = IKSolver(m, goals, cfg)
     data0 = s.make_data(jnp.asarray(m.neutral_q()))
     data = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), data0)
-    gi = 0
+    pos_slots = []
     for i, grp in enumerate(s.problem.primary):
+        if grp.goal_type not in ("position", "pose"):
+            continue
         for k in range(grp.count):
             slot = int(grp.tip_slots[k])
+            pos_slots.append(slot)
             if "position" in data["primary"][i]:
                 data["primary"][i]["position"] = (
                     data["primary"][i]["position"].at[:, k].set(tg.pos[:, slot])
@@ -67,7 +70,6 @@ def run_config(name, urdf, tips, goals, cfg, pos_tol, batch=None,
                 data["primary"][i]["orientation"] = (
                     data["primary"][i]["orientation"].at[:, k].set(tg.quat[:, slot])
                 )
-            gi += 1
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
 
     res = s.solve_batch(keys, data)
@@ -83,7 +85,7 @@ def run_config(name, urdf, tips, goals, cfg, pos_tol, batch=None,
     t2 = fk(res.q)
     perr = np.linalg.norm(
         np.asarray(t2.pos) - np.asarray(tg.pos), axis=-1
-    ).max(axis=-1)  # worst tip per problem
+    )[:, sorted(set(pos_slots))].max(axis=-1)  # worst position-goal tip
     success = float(np.asarray(res.success).mean())
     solved = float((perr < pos_tol).mean())
     print(json.dumps({
@@ -124,6 +126,36 @@ def main():
         SolverConfig(mode="bio2_memetic", dpos=5e-3, dtwist=float("inf"),
                      max_steps=16),
         5e-3, batch=min(B, 512), adaptive=False,
+    )
+    # BASELINE.json config 2: bio1 + gradient-descent modes on UR5
+    # (vmapped XLA solver paths — neither qualifies for the fused engine)
+    run_config(
+        "ur5_pose_bio1", "ur5.urdf", ["tool0"],
+        [G.PoseGoal(link="tool0")],
+        SolverConfig(mode="bio1", dtwist=1e-3, max_steps=32),
+        1e-3, batch=min(B, 512), adaptive=False,
+    )
+    run_config(
+        "ur5_pose_gd4", "ur5.urdf", ["tool0"],
+        [G.PoseGoal(link="tool0")],
+        SolverConfig(mode="gd_4", dtwist=1e-3, max_steps=64),
+        1e-3, batch=min(B, 512), adaptive=False,
+    )
+    # BASELINE.json config 3: weighted multi-goal dual-arm — PoseGoal +
+    # LookAtGoal primaries with MinimalDisplacement + AvoidJointLimits
+    # secondaries (secondary goals route off the fused engine: the
+    # pre-selection pass runs in the vmapped solver, SURVEY C18/§3.4)
+    run_config(
+        "pr2_dual_multigoal", "pr2_dual.urdf",
+        ["r_gripper_tool_frame", "l_gripper_tool_frame"],
+        [G.PoseGoal(link="r_gripper_tool_frame"),
+         G.LookAtGoal(link="l_gripper_tool_frame", axis=(1.0, 0.0, 0.0),
+                      target=(1.0, 0.0, 0.5), weight=0.5),
+         G.MinimalDisplacementGoal(weight=0.2),
+         G.AvoidJointLimitsGoal(weight=0.2)],
+        SolverConfig(mode="bio2_memetic", dpos=1e-2, drot=float("inf"),
+                     dtwist=float("inf"), max_steps=16),
+        1e-2, batch=min(B, 256), adaptive=False,
     )
 
 
