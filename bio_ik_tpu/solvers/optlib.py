@@ -9,12 +9,21 @@ optax's L-BFGS with zoom line search, and the objective gradient is exact
 ik_cppoptlib.cpp finite-difference gradient).  Variants:
 
   * ``optlib_lbfgs`` / ``optlib_bfgs`` — L-BFGS (bfgs = larger memory)
+  * ``optlib_lbfgsb`` — projected L-BFGS: every inner update is clipped
+    onto the box bounds (the bound-constrained flavor of the reference's
+    LbfgsbSolver registration, ik_cppoptlib.cpp:248-249)
   * ``optlib_gd``   — plain gradient descent with zoom line search
+  * ``optlib_cgd``  — Polak-Ribière(+) nonlinear conjugate gradient with
+    a backtracking line probe (ConjugatedGradientDescentSolver analog,
+    ik_cppoptlib.cpp:241-242)
+  * ``optlib_nd``   — damped Newton descent: ``(H + λI)⁻¹ g`` from the
+    exact jax Hessian of the fitness (NewtonDescentSolver analog,
+    ik_cppoptlib.cpp:256-257)
+  * ``optlib_nm``   — Nelder-Mead simplex, fixed-shape reflection /
+    expansion / contraction / shrink with masked selection
+    (NelderMeadSolver analog, ik_cppoptlib.cpp:253-254)
   * ``..._r``       — randomize the configuration when stuck
   * ``..._2/_4/_8`` — default island counts (reference name suffixes)
-
-cppoptlib's derivative-free solvers (Nelder-Mead etc.) have no analog here;
-the evolutionary modes cover that niche natively.
 """
 
 from __future__ import annotations
@@ -47,7 +56,8 @@ class OptlibSolver(Solver):
         super().__init__(ctx, config)
         self.default_islands = islands
         self.reset_if_stuck = reset_if_stuck
-        if variant == "lbfgs":
+        self.project = variant == "lbfgsb"
+        if variant in ("lbfgs", "lbfgsb"):
             self.opt = optax.lbfgs(memory_size=10)
         elif variant == "bfgs":
             self.opt = optax.lbfgs(memory_size=50)
@@ -96,6 +106,8 @@ class OptlibSolver(Solver):
                 grad, opt_state, qa, value=value, grad=grad, value_fn=f
             )
             qa = optax.apply_updates(qa, updates)
+            if self.project:  # lbfgsb: iterates live on the box
+                qa = ctx.clip(qa)
             return qa, opt_state
 
         qa, opt_state = jax.lax.fori_loop(0, _INNER_UPDATES, inner, (qa0, opt_state))
