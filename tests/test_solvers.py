@@ -244,6 +244,34 @@ def test_registry_has_optional_modes():
     for n in ["bio2_memetic_lbfgs", "optlib_lbfgs", "optlib_lbfgs_r_4",
               "neural", "neural2", "test"]:
         assert n in names, n
+    # all 7 cppoptlib solver families × reset/island suffixes
+    # (reference: ik_cppoptlib.cpp:241-257 registration lines)
+    for v in ["lbfgs", "bfgs", "lbfgsb", "gd", "cgd", "nd", "nm"]:
+        for suffix in ["", "_r", "_2", "_r_8"]:
+            assert f"optlib_{v}{suffix}" in names, (v, suffix)
+
+
+@pytest.mark.parametrize("variant", ["lbfgsb", "cgd", "nd", "nm"])
+def test_optlib_derivative_variants_reduce_error(arm, arm_fk, rng, variant):
+    """Bound-projected / CG / Newton / simplex cppoptlib analogs
+    (reference: ik_cppoptlib.cpp:241-257).  Coarser optimizers — assert
+    substantial error reduction from the neutral seed, not convergence."""
+    cfg = SolverConfig(mode=f"optlib_{variant}", max_steps=12, dtwist=1e-3)
+    s = IKSolver(arm, [G.PoseGoal(link=TIP)], cfg)
+    gp, gq = reachable_target(arm, arm_fk, rng)
+    data = s.make_data(jnp.asarray(arm.neutral_q()))
+    data["primary"][0]["position"] = jnp.asarray(gp)[None]
+    data["primary"][0]["orientation"] = jnp.asarray(gq)[None]
+    seed = jnp.asarray(arm.neutral_q())
+    err0 = np.linalg.norm(np.asarray(arm_fk(seed).pos)[0] - gp)
+    res = s.solve(seed, key=jax.random.PRNGKey(0), data=data)
+    err = np.linalg.norm(np.asarray(arm_fk(res.q).pos)[0] - gp)
+    assert err < max(0.5 * err0, 2e-2), (variant, err0, err)
+    if variant == "lbfgsb":  # projected iterates must respect the box
+        qa = np.asarray(res.q)[np.asarray(s.solver.ctx.av)]
+        lo = np.asarray(s.problem.aclip_min) - 1e-6
+        hi = np.asarray(s.problem.aclip_max) + 1e-6
+        assert np.all(qa >= lo) and np.all(qa <= hi)
 
 
 def test_bio2_memetic_lbfgs_solves(arm, arm_fk, rng):
