@@ -351,6 +351,22 @@ class IKSolver:
             data = self.make_data(q_seed)
         return self._solve_jit(key, data)
 
+    def search(self, q_seed, key=None, data=None, *,
+               return_approximate_solution=False, solution_callback=None):
+        """MoveIt-style search semantics on top of :meth:`solve`
+        (reference: kinematics_plugin.cpp:638-654): returns ``None``
+        instead of an unaccepted result unless
+        ``return_approximate_solution``; when ``solution_callback`` is
+        given it acts as a host-side validity filter — a callable
+        ``(IKResult) -> bool`` (the analog of MoveIt's IKCallbackFn) that
+        can reject an otherwise-accepted solution."""
+        res = self.solve(q_seed, key=key, data=data)
+        if not bool(res.success) and not return_approximate_solution:
+            return None
+        if solution_callback is not None and not solution_callback(res):
+            return None
+        return res
+
     def solve_until(self, q_seed, key=None, data=None) -> IKResult:
         """Latency mode: host-polled early exit.  Runs
         ``steps_per_check``-step chunks and stops as soon as the acceptance

@@ -66,6 +66,11 @@ class SolverConfig:
     avoid_joint_limits_weight: float = 0.0
     minimal_displacement_weight: float = 0.0
 
+    # neural-mode training budget (reference: FANN training at first
+    # initialize, ik_neural.cpp:270-281; steps here are Adam minibatch
+    # updates rather than FANN epochs)
+    neural_train_steps: int = 2000
+
     # PRNG
     seed: int = 0
 

@@ -65,7 +65,7 @@ def _mlp_apply(params, x):
     return x
 
 
-def _train(key, sizes, make_batch, dtype):
+def _train(key, sizes, make_batch, dtype, train_steps=_TRAIN_STEPS):
     """Jitted Adam training loop; ``make_batch(key) -> (X, Y)``."""
     k_init, k_data = jax.random.split(key)
     params = _mlp_init(k_init, sizes, dtype)
@@ -87,7 +87,7 @@ def _train(key, sizes, make_batch, dtype):
             return (params, opt_state), loss
 
         (params, _), losses = jax.lax.scan(
-            body, (params, opt_state), jax.random.split(key, _TRAIN_STEPS)
+            body, (params, opt_state), jax.random.split(key, train_steps)
         )
         return params, losses[-1]
 
@@ -178,7 +178,8 @@ class NeuralSolver(_NeuralBase):
 
         key = jax.random.PRNGKey(config.seed + 12345)
         self.params, self.final_loss = _train(
-            key, (feat, _HIDDEN, V), make_batch, dtype
+            key, (feat, _HIDDEN, V), make_batch, dtype,
+            train_steps=config.neural_train_steps,
         )
 
     def init(self, key, data, randomize):
@@ -236,7 +237,8 @@ class Neural2Solver(_NeuralBase):
 
         key = jax.random.PRNGKey(config.seed + 54321)
         self.params, self.final_loss = _train(
-            key, (feat, _HIDDEN, _HIDDEN, V), make_batch, dtype
+            key, (feat, _HIDDEN, _HIDDEN, V), make_batch, dtype,
+            train_steps=config.neural_train_steps,
         )
 
     def init(self, key, data, randomize):

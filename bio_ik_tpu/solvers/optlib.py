@@ -25,7 +25,9 @@ numerically).  Variants:
     masked shrink (NelderMeadSolver analog, ik_cppoptlib.cpp:253-254)
   * ``..._r``       — randomize the configuration when stuck
     (ik_cppoptlib.cpp:169-176)
-  * ``..._2/_4/_8`` — default island counts (reference name suffixes)
+  * ``..._2/_4/_8`` — default island counts.  The reference registers
+    1/2/4-thread variants (IKCPPOPT macro, ik_cppoptlib.cpp); ``_8`` is a
+    deliberate extension of the naming ladder here.
 """
 
 from __future__ import annotations
@@ -40,7 +42,10 @@ from .base import Solver, SolverContext, register_solver
 
 __all__ = ["OptlibSolver"]
 
-_INNER_UPDATES = 4  # reference: crit.iterations = 4 per step (ik_cppoptlib.cpp:153)
+# 4 inner optimizer updates per step() is this framework's per-step
+# granularity choice (matching the memetic 4-steps-per-check pattern);
+# the reference runs cppoptlib with its default stopping criteria.
+_INNER_UPDATES = 4
 _PROBE_STEPS = 8  # geometric backtracking ladder for cgd/nd line probes
 
 
@@ -141,10 +146,10 @@ class OptlibSolver(Solver):
             f0, g = jax.value_and_grad(f)(qa)
             denom = jnp.maximum(jnp.vdot(g_prev, g_prev), 1e-30)
             beta = jnp.maximum(0.0, jnp.vdot(g, g - g_prev) / denom)  # PR+
-            d = -g + beta * d_prev
+            d = -g + beta * d_prev  # d_prev is unnormalized: standard PR+
             d = jnp.where(jnp.vdot(d, g) < 0, d, -g)  # enforce descent
-            d = d / (jnp.linalg.norm(d) + 1e-30)
-            qa, _ = _line_probe(f, qa, d, f0)
+            d_unit = d / (jnp.linalg.norm(d) + 1e-30)
+            qa, _ = _line_probe(f, qa, d_unit, f0)
             return qa, (g, d)
 
         return inner

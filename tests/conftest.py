@@ -24,6 +24,14 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(42)
+@pytest.fixture()
+def rng(request):
+    """Per-test deterministic generator, keyed by the test's own name.
+
+    A shared session-scoped stream would make every test's random draws
+    (IK targets, configurations) depend on which tests ran before it —
+    flaky under ``-x``, ``-k`` subsets, or reordering.
+    """
+    import zlib
+
+    return np.random.default_rng(zlib.crc32(request.node.name.encode()))

@@ -141,6 +141,23 @@ def main():
         SolverConfig(mode="gd_4", dtwist=1e-3, max_steps=64),
         1e-3, batch=min(B, 512), adaptive=False,
     )
+    # BASELINE.json config 2b: KUKA iiwa-like 7-DOF with TIGHT bounds on
+    # every joint (the bounded-revolute branch of the clip path)
+    run_config(
+        "kuka_iiwa_pose", "kuka_iiwa.urdf", ["tool0"],
+        [G.PoseGoal(link="tool0")],
+        SolverConfig(mode="bio2_memetic", dtwist=1e-3), 1e-3,
+    )
+    # BASELINE.json config 4b: 30-DOF branching humanoid, 3 simultaneous
+    # tips (whole-body `all`-group analog) — vmapped XLA path
+    run_config(
+        "humanoid_whole_body", "humanoid.urdf", ["r_hand", "l_hand", "head"],
+        [G.PoseGoal(link="r_hand"), G.PoseGoal(link="l_hand"),
+         G.PoseGoal(link="head")],
+        SolverConfig(mode="bio2_memetic", dpos=5e-2, dtwist=float("inf"),
+                     max_steps=32),
+        5e-2, batch=min(B, 256), adaptive=False,
+    )
     # BASELINE.json config 3: weighted multi-goal dual-arm — PoseGoal +
     # LookAtGoal primaries with MinimalDisplacement + AvoidJointLimits
     # secondaries (secondary goals route off the fused engine: the
