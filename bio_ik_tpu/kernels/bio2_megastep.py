@@ -137,7 +137,8 @@ def make_megastep_body(model, tip_links, active_vars, inst_tip,
 def make_megastep_kernel(model, tip_links, active_vars, inst_tip,
                          sp: SpeciesParams, n_steps: int,
                          block_n: int = 256, interpret: bool = False,
-                         inkernel_rng: bool = True):
+                         inkernel_rng: bool = True,
+                         gauss_mode: str = "clt4"):
     """Pallas wrapper of :func:`make_megastep_body` blocked over lanes.
 
     With ``inkernel_rng`` (compiled TPU runs) all per-step randomness —
@@ -190,11 +191,22 @@ def make_megastep_kernel(model, tip_links, active_vars, inst_tip,
 
             def draw(_i):
                 shape = (sp.gens, V, C, W)
-                # Box–Muller; u1 ∈ (2⁻²⁵, 1] avoids log(0)
-                u1 = u01(shape, lo=2.0 ** -25)
-                u2 = u01(shape)
-                rad = jnp.sqrt(-2.0 * jnp.log(u1))
-                noise = rad * jnp.cos(jnp.asarray(2.0 * np.pi, f32) * u2)
+                if gauss_mode == "clt4":
+                    # Irwin–Hall CLT: (Σ₄ u01 − 2)·√3 has unit variance
+                    # and is transcendental-free — Box–Muller's
+                    # log/sqrt/cos per sample dominated the VPU budget
+                    # (gens·V·C samples per lane-step).  Tails truncate
+                    # at ±2√3 σ ≈ ±3.46 σ, irrelevant for mutation noise
+                    # (global exploration comes from wipeout restarts,
+                    # reference: ik_evolution_2.cpp:620-637, not tails).
+                    s = u01(shape) + u01(shape) + u01(shape) + u01(shape)
+                    noise = (s - 2.0) * jnp.asarray(np.sqrt(3.0), f32)
+                else:
+                    # Box–Muller; u1 ∈ (2⁻²⁵, 1] avoids log(0)
+                    u1 = u01(shape, lo=2.0 ** -25)
+                    u2 = u01(shape)
+                    rad = jnp.sqrt(-2.0 * jnp.log(u1))
+                    noise = rad * jnp.cos(jnp.asarray(2.0 * np.pi, f32) * u2)
                 # rate = 2^(k−23), k ∈ [0,16): exponent-bit construction
                 kb = pltpu.bitcast(
                     pltpu.prng_random_bits((sp.gens, C, W)), jnp.uint32
@@ -296,7 +308,9 @@ def make_megastep_kernel(model, tip_links, active_vars, inst_tip,
                                         + 7 * K + Fq),
                 transcendentals=nst * (2 * nlinks
                                        + (3 * sp.gens * V * C
-                                          if inkernel_rng else 0)) * N,
+                                          if inkernel_rng
+                                          and gauss_mode != "clt4"
+                                          else 0)) * N,
             ),
             interpret=interpret,
         )(*args)
