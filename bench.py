@@ -46,7 +46,7 @@ def run_bench():
     # B and K chosen from the measured throughput plateau
     # (tools/bench_scaling.py): larger batches amortize the tunnel's fixed
     # per-dispatch latency; deeper queues overlap dispatch with compute.
-    B = int(os.environ.get("BENCH_BATCH", "16384"))
+    B = int(os.environ.get("BENCH_BATCH", "32768"))
 
     m = RobotModel.from_urdf_file(asset_path("pr2_arm.urdf"))
     tip = "r_gripper_tool_frame"
@@ -59,13 +59,14 @@ def run_bench():
     # adaptive multi-phase batching: full-budget pass over everything,
     # then failure-compacted retries with bigger island counts (see
     # api.py); phase budgets sized to the measured per-step success
-    # decay (16 steps ⇒ ~74 % solved; phase 1 retries the worst 30 %,
-    # phase 2 the worst 5 % — ~16× headroom over the measured residual
-    # failure rate; tuned by tools/bench_phasetune.py)
+    # decay (16 steps ⇒ ~86-90 % solved with the Irwin–Hall noise;
+    # phase 1 retries the worst 25 %, phase 2 the worst 4 % — ≥2×
+    # headroom over the measured residual failure rates; tuned by
+    # tools/bench_phasetune.py)
     cfg = SolverConfig(mode="bio2_memetic", dtwist=1e-3)
     s = AdaptiveBatchSolver(
         m, [G.PoseGoal(link=tip)], cfg,
-        phases=((1, 16), (2, 24), (4, 48)), fractions=(0.3, 0.05),
+        phases=((1, 16), (2, 24), (4, 48)), fractions=(0.25, 0.04),
     )
     data0 = s.make_data(jnp.asarray(m.neutral_q()))
     data = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), data0)

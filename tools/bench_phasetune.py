@@ -29,11 +29,11 @@ B = int(os.environ.get("BENCH_BATCH", "16384"))
 K = 8
 
 VARIANTS = [
-    ("A (2,32) f=.30/.04     ", ((1, 16), (2, 32), (4, 64)), (0.3, 0.04)),
-    ("B (2,24) f=.30/.04     ", ((1, 16), (2, 24), (4, 64)), (0.3, 0.04)),
-    ("C (2,24) f=.30/.05 p2=48", ((1, 16), (2, 24), (4, 48)), (0.3, 0.05)),
-    ("D (2,32) f=.30/.03     ", ((1, 16), (2, 32), (4, 64)), (0.3, 0.03)),
-    ("E (2,24)(4,48) f=.3/.05/.02 4ph", ((1, 16), (2, 24), (4, 48), (4, 96)), (0.3, 0.05, 0.02)),
+    ("cur (2,24)(4,48) f=.30/.05", ((1, 16), (2, 24), (4, 48)), (0.3, 0.05)),
+    ("E (2,16)(4,48) f=.30/.05  ", ((1, 16), (2, 16), (4, 48)), (0.3, 0.05)),
+    ("F (2,20)(4,40) f=.30/.04  ", ((1, 16), (2, 20), (4, 40)), (0.3, 0.04)),
+    ("G (2,24)(4,48) f=.25/.04  ", ((1, 16), (2, 24), (4, 48)), (0.25, 0.04)),
+    ("H (2,16)(4,32) f=.30/.06  ", ((1, 16), (2, 16), (4, 32)), (0.3, 0.06)),
 ]
 
 
