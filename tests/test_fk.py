@@ -11,7 +11,7 @@ from scipy.spatial.transform import Rotation as R
 
 from bio_ik_tpu import RobotModel, asset_path
 from bio_ik_tpu.kinematics import make_fk
-from bio_ik_tpu.robot.urdf import PRISMATIC, REVOLUTE
+from bio_ik_tpu.robot.urdf import FLOATING, PLANAR, PRISMATIC, REVOLUTE
 
 
 def scipy_fk(m: RobotModel, q: np.ndarray):
@@ -34,6 +34,17 @@ def scipy_fk(m: RobotModel, q: np.ndarray):
             rot = rot * R.from_rotvec(np.asarray(m.axis[li]) * q[vs])
         elif jt == PRISMATIC:
             pos = pos + rot.apply(np.asarray(m.axis[li]) * q[vs])
+        elif jt == FLOATING:
+            # 7 variables: translation + quaternion, normalized before use
+            # (reference: forward_kinematics.h:120-127)
+            qq = q[vs + 3 : vs + 7]
+            qq = qq / np.linalg.norm(qq)
+            pos = pos + rot.apply(q[vs : vs + 3])
+            rot = rot * R.from_quat(qq)
+        elif jt == PLANAR:
+            # 3 variables: x, y, theta about z
+            pos = pos + rot.apply(np.array([q[vs], q[vs + 1], 0.0]))
+            rot = rot * R.from_rotvec(np.array([0.0, 0.0, 1.0]) * q[vs + 2])
         frames[li] = (pos, rot)
     return frames
 
