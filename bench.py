@@ -66,7 +66,7 @@ def run_bench():
     cfg = SolverConfig(mode="bio2_memetic", dtwist=1e-3)
     s = AdaptiveBatchSolver(
         m, [G.PoseGoal(link=tip)], cfg,
-        phases=((1, 16), (2, 24), (4, 48)), fractions=(0.25, 0.04),
+        phases=((1, 16), (2, 24), (4, 64)), fractions=(0.25, 0.05),
     )
     data0 = s.make_data(jnp.asarray(m.neutral_q()))
     data = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), data0)
@@ -105,7 +105,7 @@ def run_bench():
                 "vs_baseline": round(solves_per_sec / REFERENCE_SOLVES_PER_SEC, 3),
                 "success_rate": round(success, 4),
                 "batch": B,
-                "phases": "1x16,2x24,4x48 adaptive",
+                "phases": "1x16,2x24,4x64 adaptive",
                 "batch_time_ms": round(dt * 1e3, 2),
                 "median_pos_err_m": float(np.median(perr)),
                 "device": str(jax.devices()[0]),

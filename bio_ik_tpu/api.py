@@ -166,6 +166,16 @@ class IKResult(NamedTuple):
 _BIG = 1e30
 
 
+def _log_counter(steps: int, islands: int) -> None:
+    """Iteration-count observability (reference: the `counter` param logs
+    iteration_count after each query, ik_parallel.h:107, 263-266)."""
+    import logging
+
+    logging.getLogger("bio_ik_tpu").info(
+        "ik solve: %d steps x %d islands", steps, islands
+    )
+
+
 class IKSolver:
     """Compiled solver for one robot + goal structure.
 
@@ -182,6 +192,7 @@ class IKSolver:
         config: SolverConfig = DEFAULT_CONFIG,
         fixed_joints: Sequence[str] = (),
         active_variables: Optional[Sequence[int]] = None,
+        block_n: Optional[int] = None,
     ):
         self.model = model
         self.config = config
@@ -201,7 +212,8 @@ class IKSolver:
             if FusedBio2Engine.supports(self) is None:
                 # Pallas on TPU; the same fused math as plain jnp elsewhere
                 self.engine = FusedBio2Engine(
-                    self, use_pallas=jax.default_backend() == "tpu"
+                    self, block_n=block_n,
+                    use_pallas=jax.default_backend() == "tpu",
                 )
 
     # ------------------------------------------------------------------
@@ -349,7 +361,13 @@ class IKSolver:
             key = jax.random.PRNGKey(self.config.seed)
         if data is None:
             data = self.make_data(q_seed)
-        return self._solve_jit(key, data)
+        res = self._solve_jit(key, data)
+        if self.config.counter:
+            # reference: `counter` param logs the per-query iteration
+            # count (ik_parallel.h:263-266); fixed-budget solves always
+            # run the full budget across all islands
+            _log_counter(self.config.max_steps, self.islands)
+        return res
 
     def search(self, q_seed, key=None, data=None, *,
                return_approximate_solution=False, solution_callback=None):
@@ -387,10 +405,14 @@ class IKSolver:
         spc = max(1, min(self.config.steps_per_check, self.config.max_steps))
         nchecks = max(1, self.config.max_steps // spc)
         state, best = self._init_jit(key, data)
+        steps = 0
         for _ in range(nchecks):
             state, best = self._chunk_jit(state, best, data)
+            steps += spc
             if bool(best[2]):  # success flag — host-side early exit
                 break
+        if self.config.counter:
+            _log_counter(steps, self.islands)
         return self._result_jit(best, data)
 
     def solve_batch(self, keys, data) -> IKResult:

@@ -27,6 +27,10 @@ class SolverConfig:
     # ik_parallel.h:113-127; bio1/bio2 default 4)
     islands: int = 0
 
+    # log the solver-iteration count of each query (reference: `counter`
+    # param, ik_parallel.h:107,263-266)
+    counter: bool = False
+
     # acceptance tolerances (reference: kinematics_plugin.cpp:259-261;
     # dpos/drot default disabled, dtwist 1e-5)
     dpos: float = float("inf")

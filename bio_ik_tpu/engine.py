@@ -52,8 +52,8 @@ _MEMETIC_OF_MODE = {"bio2": "", "bio2_memetic": "q", "bio2_memetic_l": "l"}
 class FusedBio2Engine:
     """Batched bio2 solve with the fused species kernel in the hot loop."""
 
-    def __init__(self, iksolver, block_n: int = 256, use_pallas: bool = True,
-                 interpret: bool = False):
+    def __init__(self, iksolver, block_n: Optional[int] = None,
+                 use_pallas: bool = True, interpret: bool = False):
         reason = self.supports(iksolver)
         if reason is not None:
             raise ValueError(f"fused engine unsupported: {reason}")
@@ -62,6 +62,14 @@ class FusedBio2Engine:
         self.ctx = iksolver.ctx
         self.config = iksolver.config
         self.islands = iksolver.islands
+        if block_n is None:
+            # widest lane block whose per-step noise buffer
+            # (gens × V × C × W × 4 B, the largest VMEM tenant) fits a
+            # ~2 MB budget — wider blocks measurably help (+5 % at 512
+            # vs 256 on the 7-DOF bench) until VMEM pressure bites
+            V = len(p.active_vars)
+            budget = 2 * 1024 * 1024 // (8 * V * _C * 4)
+            block_n = max(256, min(1024, (budget // 256) * 256))
         self.block_n = block_n
 
         memetic = _MEMETIC_OF_MODE[self.config.mode]

@@ -134,3 +134,17 @@ def test_search_callback_filters(ur5_solver):
     assert res is not None and bool(res.success)
     assert s.search(q, data=data, solution_callback=lambda r: False) is None
     assert s.search(q, data=data, solution_callback=lambda r: True) is not None
+
+
+def test_counter_logs_iterations(ur5_solver, caplog):
+    """`counter` config logs the per-query iteration count
+    (reference: ik_parallel.h:263-266)."""
+    import logging
+
+    m, _ = ur5_solver
+    cfg = SolverConfig(mode="gd", max_steps=4, counter=True)
+    s = IKSolver(m, [G.PoseGoal(link="tool0")], cfg)
+    q = jnp.asarray(m.neutral_q())
+    with caplog.at_level(logging.INFO, logger="bio_ik_tpu"):
+        s.solve(q)
+    assert any("steps" in r.message for r in caplog.records)
