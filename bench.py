@@ -125,11 +125,19 @@ def main():
         run_bench()
         return
     for attempt in range(6):
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env={**os.environ, "_BIOIK_BENCH_CHILD": "1"},
-            capture_output=True, text=True, timeout=1800,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "_BIOIK_BENCH_CHILD": "1"},
+                capture_output=True, text=True, timeout=1800,
+            )
+        except subprocess.TimeoutExpired as e:
+            # a hung tunnel claim counts as a failed attempt — keep the
+            # fresh-subprocess retry loop alive rather than aborting
+            sys.stderr.write(f"bench child timed out after {e.timeout}s\n")
+            if attempt < 5:
+                time.sleep(30 * (attempt + 1))
+            continue
         out = r.stdout.strip().splitlines()
         if r.returncode == 0 and out and out[-1].startswith("{"):
             print(out[-1])

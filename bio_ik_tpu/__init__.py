@@ -13,7 +13,13 @@ from .config import SolverConfig  # noqa: F401
 from .api import IKSolver, IKResult  # noqa: F401
 from .problem import Problem  # noqa: F401
 from . import goals  # noqa: F401
-from .params import config_from_dict, goal_from_dict, goals_from_dict, load_yaml  # noqa: F401
+from .params import (  # noqa: F401
+    config_from_dict,
+    goal_from_dict,
+    goals_from_dict,
+    load_yaml,
+    solver_from_spec,
+)
 
 __version__ = "0.1.0"
 

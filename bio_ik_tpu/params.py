@@ -33,7 +33,9 @@ __all__ = [
     "config_from_dict",
     "goal_from_dict",
     "goals_from_dict",
+    "goals_from_dicts",
     "load_yaml",
+    "solver_from_spec",
     "GOAL_TYPES",
 ]
 
@@ -44,6 +46,7 @@ GOAL_TYPES: Dict[str, type] = {
     "orientation": G.OrientationGoal,
     "pose": G.PoseGoal,
     "look_at": G.LookAtGoal,
+    "lookat": G.LookAtGoal,  # alias (matches the reference's class name)
     "max_distance": G.MaxDistanceGoal,
     "min_distance": G.MinDistanceGoal,
     "line": G.LineGoal,
@@ -135,8 +138,28 @@ def goals_from_dict(items: Sequence[Mapping[str, Any]]) -> List[G.Goal]:
     return [goal_from_dict(d) for d in items]
 
 
+goals_from_dicts = goals_from_dict  # alias
+
+
+def solver_from_spec(model, spec: Mapping[str, Any]):
+    """Build an :class:`bio_ik_tpu.api.IKSolver` from one spec dict holding
+    config fields + a ``goals`` list (+ optional ``fixed_joints``) — the
+    data-driven analog of the reference plugin's full ROS-param surface
+    (kinematics_plugin.cpp:243-335)."""
+    from .api import IKSolver
+
+    spec = dict(spec)
+    goal_dicts = spec.pop("goals")
+    fixed_joints = spec.pop("fixed_joints", ())
+    cfg = config_from_dict(spec)
+    return IKSolver(model, goals_from_dict(goal_dicts), cfg,
+                    fixed_joints=fixed_joints)
+
+
 def load_yaml(path: str) -> Tuple[SolverConfig, List[G.Goal]]:
-    """Load ``(config, goals)`` from a YAML file (kinematics.yaml analog)."""
+    """Load ``(config, goals)`` from a YAML file (kinematics.yaml analog).
+
+    Requires PyYAML (declared as the ``yaml`` optional extra)."""
     import yaml
 
     with open(path) as f:

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import pytest
 
 from bio_ik_tpu import RobotModel, asset_path
-from bio_ik_tpu.serialize import (
+from bio_ik_tpu.params import (
     config_from_dict,
     goal_from_dict,
     goals_from_dicts,
@@ -27,8 +27,14 @@ def test_goal_unknown_type():
 
 
 def test_goal_unknown_field():
-    with pytest.raises(ValueError, match="unknown fields"):
+    with pytest.raises(ValueError, match="unknown field"):
         goal_from_dict({"type": "pose", "link": "x", "positionn": [0, 0, 0]})
+
+
+def test_lookat_alias_and_struct_vectors():
+    g = goal_from_dict({"type": "lookat", "link": "tip",
+                        "target": {"x": 1, "y": 2, "z": 3}})
+    assert isinstance(g, G.LookAtGoal) and g.target == (1.0, 2.0, 3.0)
 
 
 def test_config_from_dict():
