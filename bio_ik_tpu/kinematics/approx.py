@@ -35,7 +35,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..math.frame import Frame
-from ..math.quat import quat_mul, quat_rotate
+from ..math.quat import quat_conj, quat_mul, quat_rotate, quat_to_rotvec_wrapped
 from ..robot.model import RobotModel
 from ..robot.urdf import PRISMATIC, REVOLUTE
 from .fk import make_fk, make_link_frames_fn
@@ -199,7 +199,8 @@ def apply_deltas_single(phen, deltas, var_slot, delta):
 
 
 def make_jacobian(
-    model: RobotModel, tip_links: Sequence[str], active_vars: Sequence[int]
+    model: RobotModel, tip_links: Sequence[str], active_vars: Sequence[int],
+    fd_eps: float = 1e-4,
 ) -> Callable:
     """Build ``jac(q_full) → (tips0: Frame (..., T), J (..., T, 6, V))``.
 
@@ -207,13 +208,19 @@ def make_jacobian(
     ``[dpos(3), ω(3)]``.  Used by the ``jac`` pseudoinverse solver family
     (reference analog: computeJacobian, forward_kinematics.h:599-731).
     Variables without an analytic column (floating/planar) get
-    forward-difference position columns and zero angular columns.
+    forward-difference columns: ``dpos = Δp/ε`` and ``ω`` from the
+    rotation vector of the relative quaternion ``q(x+ε)·q(x)⁻¹``
+    (reference: the numeric-differentiation default branch + frameTwist,
+    forward_kinematics.h:695-727, frame.h:240-259 — twist expressed in
+    world coordinates to match the analytic columns here).
     """
     tip_idx = [model.link_index[t] for t in tip_links]
     frames_fn, sched = make_link_frames_fn(model, tip_idx)
     tip_slots = np.array([sched.slot_of_link[t] for t in tip_idx])
     jc = _JointCols(model, tip_idx, active_vars)
     slots_j = np.array([sched.slot_of_link[lj] for lj in jc.joints], dtype=np.int64)
+    fd_fk = make_fk(model, tip_links) if jc.fd_vars else None
+    active_np = np.asarray(list(active_vars), dtype=np.int64)
 
     def jac(q_full):
         dtype = q_full.dtype
@@ -222,6 +229,18 @@ def make_jacobian(
         cols = _joint_cols(jc, lf, slots_j, tip_slots, dtype, want7=False)
         scatter = jnp.asarray(jc.scatter, dtype=dtype)
         J = jnp.einsum("...tjd,jv->...tdv", cols, scatter)  # (..., T, 6, V)
+
+        if jc.fd_vars:
+            eps = jnp.asarray(fd_eps, dtype=dtype)
+            for i in jc.fd_vars:
+                e = jnp.zeros(model.nvars, dtype=dtype).at[active_np[i]].set(eps)
+                te = fd_fk(q_full + e)
+                dpos = (te.pos - tips0.pos) / eps                    # (..., T, 3)
+                rel = quat_mul(te.quat, quat_conj(tips0.quat))
+                drot = quat_to_rotvec_wrapped(rel) / eps             # (..., T, 3)
+                dcol = jnp.concatenate([dpos, drot], axis=-1)        # (..., T, 6)
+                J = J.at[..., :, :, i].set(dcol)
+
         return tips0, J
 
     return jac

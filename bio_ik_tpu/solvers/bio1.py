@@ -169,7 +169,14 @@ class Bio1Solver(Solver):
     # -- fitness ----------------------------------------------------------
     def _fitness(self, genes, data, key=None, balanced=True):
         """Standard fitness, or the linear position/rotation mix
-        (reference: computeFitness, ik_evolution_1.cpp:253-275)."""
+        (reference: computeFitness, ik_evolution_1.cpp:253-275).
+
+        ``balanced=False`` + a key draws a fresh uniform position/rotation
+        mixing weight per goal — the reference evaluates *offspring* (and
+        rerolls / the initial population) with the random weight
+        (:250, :384, :457) and uses the balanced 0.5 weight only for the
+        exploit probes, wipeout checks, and solution comparisons
+        (:285-291, :317-318, :397-408)."""
         ctx = self.ctx
         if not self.linear_fitness:
             return ctx.fitness_exact(genes, data)
@@ -209,12 +216,17 @@ class Bio1Solver(Solver):
 
     def _population_from(self, key, seed_genes, data):
         """population[0] = seed/solution, others rerolled; sorted
-        (reference: init(), :445-471)."""
+        (reference: init(), :445-471 — initial fitness uses the RANDOM
+        linear mix, computeFitness(genes, false) at :457)."""
         N, V = self.N, self.ctx.nvars
-        keys = jax.random.split(key, N)
+        k_roll, k_fit = jax.random.split(key)
+        keys = jax.random.split(k_roll, N)
         rerolled = jax.vmap(lambda k: self._reroll(k, seed_genes))(keys)
         genes = jnp.concatenate([seed_genes[None], rerolled[1:]], axis=0)
-        fit = jax.vmap(lambda g: self._fitness(g, data))(genes)
+        fkeys = jax.random.split(k_fit, N)
+        fit = jax.vmap(
+            lambda k, g: self._fitness(g, data, key=k, balanced=False)
+        )(fkeys, genes)
         order = jnp.argsort(fit)
         genes, fit = genes[order], fit[order]
         grads = jnp.zeros((N, V), genes.dtype)
@@ -303,7 +315,7 @@ class Bio1Solver(Solver):
         def child_body(carry, inp):
             pool, key = carry
             i, = inp
-            key, ka, kb, kp, kr, krr = jax.random.split(key, 6)
+            key, ka, kb, kp, kr, krr, kf, kf2 = jax.random.split(key, 8)
             ia = _triangular_pick(ka, pool)
             ib = _triangular_pick(kb, pool)
             ip = _triangular_pick(kp, pool)
@@ -313,11 +325,14 @@ class Bio1Solver(Solver):
                 st.genes[ib], st.grads[ib], st.extinction[ib],
                 st.genes[ip], st.grads[i], data,
             )
-            cf = self._fitness(cg, data)
-            # pool empty → reroll instead (reference :526-533)
+            # offspring evaluated with the RANDOM linear mix (reference
+            # :384: computeFitness(offspring.genes, false))
+            cf = self._fitness(cg, data, key=kf, balanced=False)
+            # pool empty → reroll instead (reference :526-533; reroll
+            # fitness is also random-mix, :250)
             empty = jnp.sum(pool) == 0
             rg = self._reroll(krr, st.genes[0])
-            rf = self._fitness(rg, data)
+            rf = self._fitness(rg, data, key=kf2, balanced=False)
             cg = jnp.where(empty, rg, cg)
             cgr = jnp.where(empty, jnp.zeros_like(cgr), cgr)
             cf = jnp.where(empty, rf, cf)

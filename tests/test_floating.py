@@ -76,6 +76,61 @@ def test_floating_base_solve(rng):
     assert abs(qn - 1.0) < 1e-2, qn
 
 
+def test_jacobian_fd_columns(rng):
+    """make_jacobian's floating-base columns (numeric fallback, reference:
+    forward_kinematics.h:695-727) must match finite differences of FK —
+    non-zero base columns, consistent with the analytic revolute columns."""
+    from bio_ik_tpu.kinematics import make_jacobian
+    from bio_ik_tpu.math.quat import (quat_conj, quat_mul,
+                                      quat_to_rotvec_wrapped)
+
+    m = RobotModel.from_urdf_file(asset_path("free_arm.urdf"))
+    active = list(range(m.nvars))
+    jac = jax.jit(make_jacobian(m, ["tool"], active))
+    fk = jax.jit(make_fk(m, ["tool"]))
+    q = jnp.asarray(random_q(m, rng), jnp.float32)
+    tips0, J = jac(q)
+    J = np.asarray(J)[0]                                  # (6, V)
+    # floating base occupies vars [vs, vs+7): its columns must be non-zero
+    vs = int(m.vstart[m.link_index["base"]])
+    assert np.abs(J[:, vs : vs + 7]).max() > 0.1, J[:, vs : vs + 7]
+    # every column ≈ central finite difference of (pos, rotvec)
+    eps = 1e-3
+    t0 = fk(q)
+    for v in range(m.nvars):
+        e = jnp.zeros(m.nvars, jnp.float32).at[v].set(eps)
+        tp, tm = fk(q + e), fk(q - e)
+        dpos = np.asarray(tp.pos - tm.pos)[0] / (2 * eps)
+        rel = quat_mul(tp.quat, quat_conj(tm.quat))
+        drot = np.asarray(quat_to_rotvec_wrapped(rel))[0] / (2 * eps)
+        np.testing.assert_allclose(J[0:3, v], dpos, atol=2e-3)
+        np.testing.assert_allclose(J[3:6, v], drot, atol=2e-3)
+
+
+def test_jac_solver_floating_base(rng):
+    """`jac` mode on the floating-base arm: with the FD fallback the
+    least-squares step can translate the base toward the target."""
+    m = RobotModel.from_urdf_file(asset_path("free_arm.urdf"))
+    fk = make_fk(m, ["tool"])
+    qg = random_q(m, rng)
+    tg = fk(jnp.asarray(qg))
+    cfg = SolverConfig(mode="jac", max_steps=32, dpos=1e-2,
+                       dtwist=float("inf"))
+    s = IKSolver(m, [G.PositionGoal(link="tool")], cfg)
+    data = s.make_data(jnp.asarray(m.neutral_q()))
+    data["primary"][0]["position"] = tg.pos
+    res = s.solve(jnp.asarray(m.neutral_q()), key=jax.random.PRNGKey(0),
+                  data=data)
+    t2 = fk(res.q)
+    err = float(np.linalg.norm(np.asarray(t2.pos)[0] - np.asarray(tg.pos)[0]))
+    assert err < 1e-2, err
+    # the base must actually have moved (non-zero FD columns in use)
+    vs = int(m.vstart[m.link_index["base"]])
+    base_disp = np.abs(np.asarray(res.q)[vs : vs + 3]
+                       - np.asarray(m.neutral_q())[vs : vs + 3]).max()
+    assert base_disp > 1e-4, base_disp
+
+
 def test_planar_base_solve(rng):
     m = RobotModel.from_urdf_file(asset_path("planar_arm.urdf"))
     fk = make_fk(m, ["tool"])

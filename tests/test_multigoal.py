@@ -21,6 +21,7 @@ def dual():
     return RobotModel.from_urdf_file(asset_path("pr2_dual.urdf"))
 
 
+@pytest.mark.slow
 def test_dual_arm_multigoal(dual, rng):
     m = dual
     fk = make_fk(m, [R_TIP, L_TIP])
@@ -66,6 +67,7 @@ def test_dual_arm_multigoal(dual, rng):
     assert np.dot(v, n) > 0.5, (v, n)
 
 
+@pytest.mark.slow
 def test_fixed_joints_dual(dual, rng):
     """fixed_joints parameter locks a joint at the seed value
     (reference: BioIKKinematicsQueryOptions::fixed_joints, goal.h:124)."""

@@ -54,6 +54,7 @@ def test_ur5_gd(rng):
     assert np.median(errs) < 0.35, errs
 
 
+@pytest.mark.slow
 def test_snake_approximate_convergence(rng):
     """High-DOF (32 joints) approximate convergence (BASELINE config 4):
     the pose is usually reachable many ways; expect coarse convergence
@@ -74,6 +75,7 @@ def test_kuka_iiwa_bio2(rng):
     assert np.median(errs) < 2e-3, errs
 
 
+@pytest.mark.slow
 def test_humanoid_whole_body(rng):
     """30-DOF branching humanoid, 3 simultaneous tips (both hands + head
     look direction analog) — the whole-body `all`-group config

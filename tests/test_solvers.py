@@ -208,9 +208,39 @@ def test_optlib_lbfgs_solves(arm, arm_fk, rng):
     assert np.median(errs) < 2e-2, errs
 
 
+@pytest.mark.slow
 def test_bio1_solves(arm, arm_fk, rng):
     _, errs = solve_roundtrip(arm, arm_fk, rng, "bio1", max_steps=8, n=2)
     assert np.median(errs) < 5e-2, errs
+
+
+@pytest.mark.slow
+def test_bio1_linear_fitness_random_mix(arm, arm_fk, rng):
+    """linear_fitness mode evaluates offspring with a RANDOM per-goal
+    position/rotation weight (reference: computeFitness(genes, false),
+    ik_evolution_1.cpp:250, 384, 457) — the random branch must be live
+    (key-dependent) while the balanced comparisons keep w=0.5."""
+    from bio_ik_tpu.problem import Problem
+    from bio_ik_tpu.solvers.base import SolverContext, make_solver
+
+    cfg = SolverConfig(mode="bio1", linear_fitness=True, max_steps=4)
+    s = IKSolver(arm, [G.PoseGoal(link=TIP)], cfg)
+    solver = s.solver
+    data = s.make_data(jnp.asarray(arm.neutral_q()))
+    g = jnp.asarray(random_q(arm, rng)[s.problem.active_vars])
+    f_bal = solver._fitness(g, data)
+    fa = solver._fitness(g, data, key=jax.random.PRNGKey(1), balanced=False)
+    fb = solver._fitness(g, data, key=jax.random.PRNGKey(2), balanced=False)
+    assert float(fa) != float(fb), (fa, fb)       # random branch is live
+    assert float(f_bal) == float(solver._fitness(g, data))  # balanced stable
+    # and the full solve still reduces error
+    gp, gq = reachable_target(arm, arm_fk, rng)
+    data["primary"][0]["position"] = jnp.asarray(gp)[None]
+    data["primary"][0]["orientation"] = jnp.asarray(gq)[None]
+    res = s.solve(jnp.asarray(arm.neutral_q()), key=jax.random.PRNGKey(0),
+                  data=data)
+    t2 = arm_fk(res.q)
+    assert np.linalg.norm(np.asarray(t2.pos)[0] - gp) < 0.3
 
 
 def test_adaptive_batch_solver(arm, arm_fk, rng):
@@ -274,6 +304,7 @@ def test_optlib_derivative_variants_reduce_error(arm, arm_fk, rng, variant):
         assert np.all(qa >= lo) and np.all(qa <= hi)
 
 
+@pytest.mark.slow
 def test_bio2_memetic_lbfgs_solves(arm, arm_fk, rng):
     """L-BFGS memetic variant (reference: bio2_memetic_lbfgs,
     ik_evolution_2.cpp:656-658, optional behind USE_CPPOPTLIB)."""
@@ -282,6 +313,7 @@ def test_bio2_memetic_lbfgs_solves(arm, arm_fk, rng):
     assert np.median(errs) < 1e-2, errs
 
 
+@pytest.mark.slow
 def test_neural_solver_reduces_error(arm, arm_fk, rng):
     """MLP twist→Δq solver (reference: IKNeural, ik_neural.cpp:135-427).
     Like the reference's, a coarse approximator — assert improvement over
@@ -300,6 +332,7 @@ def test_neural_solver_reduces_error(arm, arm_fk, rng):
     assert err < err0, (err, err0)
 
 
+@pytest.mark.slow
 def test_neural2_solver_regresses_pose(arm, arm_fk, rng):
     """Direct pose→q regression (reference: IKNeural2, ik_neural.cpp:432-689)."""
     cfg = SolverConfig(mode="neural2", max_steps=2, dtwist=1e-3,
