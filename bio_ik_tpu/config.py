@@ -59,6 +59,13 @@ class SolverConfig:
     # qualifies; see bio_ik_tpu.engine.FusedBio2Engine.supports
     fused: str = "auto"
 
+    # in-kernel mutation-noise generator for the fused engine:
+    # "clt4" (Irwin–Hall sum-of-4, transcendental-free, tails truncated
+    # at ±3.46σ) or "box_muller" (exact normals).  The vmapped XLA path
+    # always uses exact threefry normals; see kernels/bio2_fullstep.py
+    # gauss_from_u01 for the statistical rationale.
+    gauss_mode: str = "clt4"
+
     # numerics
     dtype: str = "float32"
 
@@ -77,6 +84,13 @@ class SolverConfig:
 
     # PRNG
     seed: int = 0
+
+    def __post_init__(self):
+        if self.gauss_mode not in ("clt4", "box_muller"):
+            raise ValueError(
+                f"gauss_mode must be 'clt4' or 'box_muller', got "
+                f"{self.gauss_mode!r}"
+            )
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

@@ -13,10 +13,14 @@ remaining as XLA ops.
 Two kernel tiers, selected automatically:
   * **fullstep** (:mod:`bio_ik_tpu.kernels.bio2_fullstep`): exact FK,
     linearization, generations, memetic and exact species fitness all
-    in-kernel — requires a FIXED/REVOLUTE/PRISMATIC chain;
+    in-kernel — requires a FIXED/REVOLUTE/PRISMATIC chain.  Joint-space
+    secondary goals (the reference's recommended regularizer config)
+    run in-kernel on this tier: per-generation pre-selection by
+    secondary fitness + combined memetic line search (reference:
+    ik_evolution_2.cpp:366-378, :459-537);
   * **species** (:mod:`bio_ik_tpu.kernels.bio2_step`): linearization and
     exact FK stay in XLA; used when the chain has floating/planar
-    joints.
+    joints (no secondary goals on this tier).
 
 Semantically equivalent to ``IKSolver.solve_batch`` with a bio2-family
 mode (same per-step algorithm, same acceptance and winner-selection
@@ -44,9 +48,72 @@ _S = 2   # species per island (reference: ik_evolution_2.cpp:141)
 _P = 2
 _C = 16
 _WIPEOUT_P = 0.1
-_MAX_FUSED_VARS = 24  # unroll guard: larger robots use the vmapped path
+# unroll guard: the fused kernels unroll the per-variable delta
+# contraction at trace time; with per-generation noise draws the VMEM
+# footprint stays bounded and 30+ DOF chains (snake-32, humanoid-30)
+# compile and run on the fast path — the guard only rejects sizes where
+# Mosaic program size becomes the bottleneck
+_MAX_FUSED_VARS = 40
 
 _MEMETIC_OF_MODE = {"bio2": "", "bio2_memetic": "q", "bio2_memetic_l": "l"}
+
+# secondary goal kind → in-kernel quadratic term (see bio2_fullstep.SEC_ROWS)
+_SEC_TERM_OF = {
+    "center_joints": "alpha",
+    "regularization": "beta",
+    "minimal_displacement": "beta",
+    "avoid_joint_limits": "gamma",
+    "joint_variable": "delta",
+}
+
+_INV24 = 1.0 / (1 << 24)
+_SQRT3 = float(np.sqrt(3.0))
+
+
+def _scenario_salt(keys):
+    """Per-scenario 32-bit PRNG salts from the ``(B,)`` key batch.
+
+    The fused engine draws all randomness from one engine-level stream
+    (per-lane independence comes from the lane axis of each draw); the
+    salt XORs each scenario's key into its lanes' raw bits so
+    ``solve_batch`` honors every entry of ``keys``: identical keys
+    reproduce bitwise, a fresh ``keys[i]`` re-randomizes scenario i only
+    (the per-island RNG independence of the reference, ik_base.h:49-126,
+    keyed per scenario)."""
+    arr = keys
+    if jnp.issubdtype(arr.dtype, jax.dtypes.prng_key):
+        arr = jax.random.key_data(arr)
+    arr = arr.astype(jnp.uint32)
+    # mix both key words so changing either changes the salt
+    return arr[..., 0] ^ (arr[..., 1] * jnp.uint32(2654435761))
+
+
+def _u01_bits(key, shape, salt, lo=0.0):
+    """Uniform [lo, lo+1) from salted threefry bits — the XLA mirror of
+    the kernel's ``make_rng_helpers`` u01 (same top-24-bit mapping)."""
+    b = jax.random.bits(key, shape, jnp.uint32) ^ salt
+    return ((b >> 8).astype(jnp.float32) * jnp.float32(_INV24)
+            + jnp.float32(lo))
+
+
+def _gauss_bits(key, shape, salt, gauss_mode):
+    """Unit gaussians from salted bits (same construction as the kernel's
+    ``gauss_from_u01``)."""
+    if gauss_mode == "clt4":
+        s = sum(_u01_bits(jax.random.fold_in(key, j), shape, salt)
+                for j in range(4))
+        return (s - 2.0) * jnp.float32(_SQRT3)
+    u1 = _u01_bits(jax.random.fold_in(key, 0), shape, salt, lo=2.0 ** -25)
+    u2 = _u01_bits(jax.random.fold_in(key, 1), shape, salt)
+    rad = jnp.sqrt(-2.0 * jnp.log(u1))
+    return rad * jnp.cos(jnp.float32(2.0 * np.pi) * u2)
+
+
+def _rate_bits(key, shape, salt):
+    """Mutation-rate ladder 2^(k−23), k ∈ [0,16) from salted bits
+    (reference: ik_evolution_2.cpp:265)."""
+    kb = (jax.random.bits(key, shape, jnp.uint32) ^ salt) & jnp.uint32(15)
+    return jnp.exp2(kb.astype(jnp.float32) - 23.0)
 
 
 class FusedBio2Engine:
@@ -62,18 +129,30 @@ class FusedBio2Engine:
         self.ctx = iksolver.ctx
         self.config = iksolver.config
         self.islands = iksolver.islands
-        if block_n is None:
-            # widest lane block whose per-step noise buffer
-            # (gens × V × C × W × 4 B, the largest VMEM tenant) fits a
-            # ~2 MB budget — wider blocks measurably help (+5 % at 512
-            # vs 256 on the 7-DOF bench) until VMEM pressure bites
-            V = len(p.active_vars)
-            budget = 2 * 1024 * 1024 // (8 * V * _C * 4)
-            block_n = max(256, min(1024, (budget // 256) * 256))
-        self.block_n = block_n
 
         memetic = _MEMETIC_OF_MODE[self.config.mode]
         gens = 8 if memetic else 16
+
+        if block_n is None:
+            # widest lane block whose per-lane VMEM footprint fits a ~6 MB
+            # budget — wider blocks measurably help (+5 % at 512 vs 256 on
+            # the 7-DOF bench) until VMEM pressure bites.  Noise is drawn
+            # one generation at a time (V·C·W floats live), so gens does
+            # not enter; the dominant tenants are the per-generation child
+            # pools (2·V·(C+2)), the noise tile (V·C), phenotype rows
+            # (K·7·(C+2)) and the aliased state blocks (~8·V).
+            V = self.ctx.nvars  # kernel V (SpeciesParams), not active_vars
+            K0 = sum(grp.count for grp in p.primary)
+            # ×3 = measured Mosaic stack multiplier over the live-buffer
+            # estimate (snake-32 at W=512 hit 34.4 KB/lane vs 10.9 KB
+            # estimated; 17.6 MB scoped-vmem OOM against the 16 MB limit)
+            per_lane = 3 * 4 * (2 * V * (_C + 2) + 2 * V * _C
+                                + K0 * 7 * (_C + 2) + 13 * V)
+            budget = (12 * 1024 * 1024) // max(per_lane, 1)
+            # cap at 512: measured on the PR2 7-DOF headline bench,
+            # W=1024 is ~2 % SLOWER than 512 (373k vs 366k solves/s)
+            block_n = max(256, min(512, (budget // 256) * 256))
+        self.block_n = block_n
 
         # goal-instance table: one kernel row group per primary goal
         # instance (kind decides which weight rows are active)
@@ -87,6 +166,13 @@ class FusedBio2Engine:
             V=self.ctx.nvars, K=K, C=_C, gens=gens,
             mem_iters=8, memetic=memetic,
         )
+        # joint-space secondary goals run in-kernel (pre-selection +
+        # combined memetic fitness, reference: ik_evolution_2.cpp:366-378,
+        # :459-537) — the reference's recommended regularizer config
+        # (kinematics_plugin.cpp:286-329) keeps the fast path
+        self.sec_terms = tuple(sorted(
+            {_SEC_TERM_OF[grp.kind] for grp in p.secondary}
+        )) if p.has_secondary else ()
         model = p.model
         tip_idx = [model.link_index[t] for t in p.tip_links]
         self.fullstep = supports_fullstep_chain(model, tip_idx)
@@ -107,30 +193,47 @@ class FusedBio2Engine:
                 self.mega, self.n_fix = make_megastep_kernel(
                     model, p.tip_links, p.active_vars, inst_tip, self.sp,
                     n_steps=self.spc, block_n=block_n, inkernel_rng=True,
+                    gauss_mode=self.config.gauss_mode,
+                    sec_terms=self.sec_terms,
                 )
             else:
                 body, self.n_fix = make_megastep_body(
                     model, p.tip_links, p.active_vars, inst_tip, self.sp,
                     n_steps=self.spc, use_pltpu_roll=False,
+                    sec_terms=self.sec_terms,
                 )
                 sp = self.sp
+                gm = self.config.gauss_mode
+                has_sec = bool(self.sec_terms)
 
-                def mega_jnp(key, genes, grads, sfit, sol, sol_fit,
+                def mega_jnp(key, salt, genes, grads, sfit, sol, sol_fit,
                              sol_tips, *consts):
+                    """XLA mirror of the megastep kernel's salted per-
+                    generation draws (CPU tests / fallback): the salt row
+                    injects per-scenario keys exactly as in-kernel."""
                     N = genes.shape[-1]
-                    f32 = genes.dtype
 
                     def draw(i):
-                        k = jax.random.fold_in(key, i)
-                        k1, k2, k3, k4 = jax.random.split(k, 4)
-                        noise = jax.random.normal(
-                            k1, (sp.gens, sp.V, sp.C, N), f32)
-                        kexp = jax.random.randint(
-                            k2, (sp.gens, sp.C, N), 0, 16)
-                        rates = jnp.exp2(kexp.astype(f32) - 23.0)
-                        wu = jax.random.uniform(k3, (1, N), f32)
-                        wg = jax.random.uniform(k4, (sp.V, N), f32)
-                        return noise, rates, wu, wg
+                        ki = jax.random.fold_in(key, i)
+
+                        def draw_gen(g):
+                            kg = jax.random.fold_in(ki, g)
+                            noise = _gauss_bits(
+                                jax.random.fold_in(kg, 0),
+                                (sp.V, sp.C, N), salt, gm)
+                            rates = _rate_bits(
+                                jax.random.fold_in(kg, 1), (sp.C, N), salt)
+                            if has_sec:
+                                keep = _u01_bits(jax.random.fold_in(kg, 2),
+                                                 (1, N), salt)
+                                return noise, rates, keep
+                            return noise, rates
+
+                        wu = _u01_bits(jax.random.fold_in(ki, 101),
+                                       (1, N), salt)
+                        wg = _u01_bits(jax.random.fold_in(ki, 102),
+                                       (sp.V, N), salt)
+                        return draw_gen, wu, wg
 
                     return body((genes, grads, sfit, sol, sol_fit,
                                  sol_tips), consts, draw)
@@ -159,7 +262,17 @@ class FusedBio2Engine:
         if iksolver.config.mode not in _MEMETIC_OF_MODE:
             return f"mode {iksolver.config.mode!r} is not a fused bio2 family"
         if p.has_secondary:
-            return "secondary goals need the pre-selection pass"
+            # joint-space secondary goals are fused (pre-selection pass
+            # in-kernel) but only on the fullstep tier
+            model = p.model
+            tip_idx = [model.link_index[t] for t in p.tip_links]
+            if not supports_fullstep_chain(model, tip_idx):
+                return ("secondary goals need the fullstep kernel "
+                        "(floating/planar chain)")
+            for grp in p.secondary:
+                if grp.kind not in _SEC_TERM_OF:
+                    return (f"secondary goal kind {grp.kind!r} not in the "
+                            "fused secondary fitness")
         for grp in p.primary:
             if grp.goal_type not in ("position", "orientation", "pose"):
                 return f"goal kind {grp.kind!r} not in the fused fitness"
@@ -172,6 +285,48 @@ class FusedBio2Engine:
         if len(p.active_vars) > _MAX_FUSED_VARS:
             return f"{len(p.active_vars)} active variables exceed the unroll guard"
         return None
+
+    # ------------------------------------------------------------------
+    def _secondary_rows(self, data, B):
+        """Packed per-variable secondary-fitness rows ``(B, 8·V)`` in
+        :data:`bio2_fullstep.SEC_ROWS` order, folding each secondary
+        group's (per-scenario) weight² into the quadratic coefficients
+        (see the evaluators in problem.py:607-686 for the source forms).
+        Inactive-variable joint goals contribute only constants and are
+        dropped (every kernel use is offset-invariant)."""
+        p = self.problem
+        V = self.sp.V
+        dt = jnp.float32
+        vw = p.velocity_weights.astype(dt)
+        bnd = p.abounded.astype(dt)
+        zeros = jnp.zeros((B, V), dt)
+        alpha, beta, gamma, delta, tsum = zeros, zeros, zeros, zeros, zeros
+        for grp, gdata in zip(p.secondary, data["secondary"]):
+            w2 = gdata["weight_sq"].astype(dt)            # (B, count)
+            w2s = jnp.sum(w2, axis=-1)[:, None]           # (B, 1)
+            if grp.kind == "center_joints":
+                alpha = alpha + w2s * jnp.square(vw * bnd)
+            elif grp.kind == "regularization":
+                beta = beta + w2s
+            elif grp.kind == "minimal_displacement":
+                beta = beta + w2s * jnp.square(vw)
+            elif grp.kind == "avoid_joint_limits":
+                gamma = gamma + w2s * jnp.square(vw * bnd)
+            elif grp.kind == "joint_variable":
+                slots = np.asarray(grp.static["slots"])
+                act = slots >= 0
+                if act.any():
+                    asl = slots[act]
+                    w2a = w2[:, act]
+                    tgt = gdata["target"].astype(dt)[:, act]
+                    delta = delta.at[:, asl].add(w2a)
+                    tsum = tsum.at[:, asl].add(w2a * tgt)
+        tbar = jnp.where(delta > 0, tsum / jnp.maximum(delta, 1e-30), 0.0)
+        mid = jnp.broadcast_to(p.amid.astype(dt), (B, V))
+        hspan = jnp.broadcast_to(p.aspan.astype(dt) * 0.5, (B, V))
+        seed = data["seed_active"].astype(dt)
+        return jnp.concatenate(
+            [alpha, beta, gamma, delta, tbar, mid, hspan, seed], axis=-1)
 
     # ------------------------------------------------------------------
     def _goal_rows(self, data, B):
@@ -335,29 +490,43 @@ class FusedBio2Engine:
 
             def eval_lanes(sol_r, sol_fit_r, sol_tips_r):
                 """Winner per scenario among all island × species lane
-                incumbents (reference: ik_parallel.h:220-261)."""
+                incumbents (reference: ik_parallel.h:220-261): successes
+                ranked by combined fitness when secondary goals exist,
+                failures by primary (api._eval_islands)."""
                 qa = unlane(sol_r, V).reshape(B * L, V)
                 tips = unlane(sol_tips_r, T * 7).reshape(B * L, T, 7)
                 tf = Frame(pos=tips[..., 0:3], quat=tips[..., 3:7])
                 ok = p.check_solution(tf, qa, data_bl).reshape(B, L)
                 fit = unlane(sol_fit_r, 1).reshape(B, L)
+                if p.has_secondary:
+                    fsec = p.fitness_secondary(qa, data_bl).reshape(B, L)
+                    rank = jnp.where(ok, fit + fsec, fit)
+                else:
+                    rank = fit
                 any_ok = jnp.any(ok, axis=1, keepdims=True)
-                sel = jnp.where(ok == any_ok, fit, jnp.inf)
+                sel = jnp.where(ok == any_ok, rank, jnp.inf)
                 i = jnp.argmin(sel, axis=1)
                 bi = jnp.arange(B)
                 qa = qa.reshape(B, L, V)
-                # no secondary goals on the fast path ⇒ rank key ==
-                # primary fitness (api._eval_islands)
-                return qa[bi, i], fit[bi, i], ok[bi, i], fit[bi, i]
+                return qa[bi, i], fit[bi, i], ok[bi, i], rank[bi, i]
 
             best = eval_lanes(sol_r, sol_fit_r, sol_tips_r)
-            # one engine-level chunk-key stream (per-lane independence
-            # comes from the lane axis of each in-kernel draw)
-            master = jax.random.fold_in(keys[0], 0x5EED)
+            # one engine-level chunk-key stream seeded from the STATIC
+            # config seed (per-lane independence comes from the lane axis
+            # of each draw; per-SCENARIO keys enter via the salt row, so
+            # all B entries of ``keys`` are honored)
+            master = jax.random.fold_in(
+                jax.random.PRNGKey(self.config.seed), 0x5EED)
+            salt_m = jnp.broadcast_to(
+                _scenario_salt(keys)[:, None], (B, I * S)).reshape(M)
+            salt_row = jnp.pad(salt_m, (0, Mp - M))[None, :]   # (1, Mp) u32
             state = (genes, grads, sfit_r, sol_r, sol_fit_r, sol_tips_r)
             consts = (qfix, gpos, gquat, wpos, wrot, span, cmin, cmax,
                       amin, amax)
+            if self.sec_terms:
+                consts = consts + (lane_goal(self._secondary_rows(data, B)),)
             if self.inkernel_rng:
+                salt_i32 = jax.lax.bitcast_convert_type(salt_row, jnp.int32)
                 # TPU: unroll chunks at trace time — a pallas launch
                 # inside lax.scan reloads the kernel program every
                 # iteration on the tunneled backend (measured ~3.5 ms)
@@ -365,7 +534,7 @@ class FusedBio2Engine:
                     kc = jax.random.fold_in(master, c)
                     seed32 = jax.random.key_data(kc)[..., 0].astype(
                         jnp.int32).reshape(1, 1)
-                    state = self.mega(seed32, *state, *consts)
+                    state = self.mega(seed32, salt_i32, *state, *consts)
                     best = merge(best,
                                  eval_lanes(state[3], state[4], state[5]))
             else:
@@ -374,7 +543,7 @@ class FusedBio2Engine:
                 def chunk_step(carry, c):
                     state, best = carry
                     kc = jax.random.fold_in(master, c)
-                    state = self.mega(kc, *state, *consts)
+                    state = self.mega(kc, salt_row, *state, *consts)
                     best = merge(
                         best, eval_lanes(state[3], state[4], state[5]))
                     return (state, best), None
@@ -388,13 +557,18 @@ class FusedBio2Engine:
 
         # ---- one fused step (species-kernel path: floating/planar
         # chains keep the XLA linearizer between launches) --------------
+        salt_b = _scenario_salt(keys)                            # (B,) u32
+        salt_m = jnp.broadcast_to(salt_b[:, None], (B, I * S)).reshape(M)
+        salt_row = jnp.pad(salt_m, (0, Mp - M))[None, :]         # (1, Mp)
+        salt_bi = jnp.broadcast_to(salt_b[:, None], (B, I))
+        gm = self.config.gauss_mode
+
         def step(carry, key):
             genes, grads, sfit, solution, sol_fit, sol_tips = carry
             k_noise, k_rate, k_wipe_p, k_wipe_g = jax.random.split(key, 4)
 
-            noise = jax.random.normal(k_noise, (gens, V, C, Mp), dt)
-            k_exp = jax.random.randint(k_rate, (gens, C, Mp), 0, 16)
-            rates = jnp.exp2(k_exp.astype(dt) - 23.0)
+            noise = _gauss_bits(k_noise, (gens, V, C, Mp), salt_row, gm)
+            rates = _rate_bits(k_rate, (gens, C, Mp), salt_row)
 
             # linearize at parent 0 in XLA (reference :341-346)
             qa0 = genes[:V, :M].T                            # (M, V)
@@ -447,10 +621,10 @@ class FusedBio2Engine:
             improved = jnp.where(swap[..., None], improved[..., ::-1], improved)
 
             # wipeout of stagnant non-best species (reference :620-637)
-            wipe = (jax.random.uniform(k_wipe_p, (B, I)) < _WIPEOUT_P) | (
+            wipe = (_u01_bits(k_wipe_p, (B, I), salt_bi) < _WIPEOUT_P) | (
                 ~improved[..., 1]
             )
-            rand_u = jax.random.uniform(k_wipe_g, (B, I, V), dt)
+            rand_u = _u01_bits(k_wipe_g, (B, I, V), salt_bi[..., None])
             rand_genes = p.amin + rand_u * (p.amax - p.amin)
 
             gr = genes[:, :M].reshape(_P, V, B, I, S)
@@ -492,11 +666,13 @@ class FusedBio2Engine:
 
         carry = (genes, grads, sfit, solution, sol_fit, sol_tips)
         best = eval_islands(solution, sol_fit, sol_tips)
-        # one engine-level step-key stream derived from the first batch
-        # key; per-lane independence comes from the lane axis of each
-        # draw, so a single stream suffices (and keeps the whole run
-        # deterministic under a fixed key set)
-        master = jax.random.fold_in(keys[0], 0x5EED)
+        # one engine-level step-key stream seeded from the STATIC config
+        # seed; per-lane independence comes from the lane axis of each
+        # draw and per-SCENARIO keys enter via the salt rows, so the run
+        # is deterministic under a fixed key set and every entry of
+        # ``keys`` is honored
+        master = jax.random.fold_in(
+            jax.random.PRNGKey(self.config.seed), 0x5EED)
         kstream = jax.random.split(master, nchecks * spc)
         kstream = kstream.reshape((nchecks, spc) + kstream.shape[1:])
 

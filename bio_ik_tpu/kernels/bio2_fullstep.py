@@ -31,7 +31,135 @@ from jax.experimental import pallas as pl
 from .bio2_step import SpeciesParams, _P
 from .fk_rows import FkRows
 
-__all__ = ["make_fullstep_inner", "make_fullstep_kernel"]
+__all__ = ["make_fullstep_inner", "make_fullstep_kernel",
+           "make_rng_helpers", "gauss_from_u01", "array_draw_gen"]
+
+GAUSS_MODES = ("clt4", "box_muller")
+
+
+def make_rng_helpers(salt=None):
+    """In-kernel PRNG primitives over ``pltpu.prng_random_bits`` (call
+    AFTER ``pltpu.prng_seed``).  ``salt`` is an optional ``(1, W)`` int32
+    row XORed into every raw draw — the per-scenario key injection: lanes
+    with different salts see decorrelated streams, so re-solving a
+    scenario with a fresh key changes its draws while identical keys
+    reproduce bitwise (the per-island RNG independence of the reference,
+    ik_base.h:49-126, keyed per scenario).
+
+    Returns ``(rbits(shape) → uint32, u01(shape, lo) → f32 in [lo, lo+1))``.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    inv24 = jnp.asarray(1.0 / (1 << 24), jnp.float32)
+    salt_u32 = None if salt is None else pltpu.bitcast(salt, jnp.uint32)
+
+    def rbits(shape):
+        b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        if salt_u32 is not None:
+            b = b ^ salt_u32
+        return b
+
+    def u01(shape, lo=0.0):
+        i = pltpu.bitcast(rbits(shape) >> 8, jnp.int32)
+        return i.astype(jnp.float32) * inv24 + jnp.asarray(lo, jnp.float32)
+
+    return rbits, u01
+
+
+def gauss_from_u01(u01, shape, gauss_mode="clt4"):
+    """Unit gaussians from a ``u01`` sampler (in-kernel or jnp).
+
+    ``clt4`` (default): Irwin–Hall CLT — ``(Σ₄ u01 − 2)·√3`` has unit
+    variance and is transcendental-free; Box–Muller's log/sqrt/cos per
+    sample dominated the VPU budget.  Tails truncate at ±2√3 σ ≈ ±3.46 σ,
+    irrelevant for mutation noise (global exploration comes from wipeout
+    restarts, reference: ik_evolution_2.cpp:620-637, not tails).
+    ``box_muller``: exact normals (u1 ∈ (2⁻²⁵, 1] avoids log(0)).
+    """
+    f32 = jnp.float32
+    if gauss_mode == "clt4":
+        s = u01(shape) + u01(shape) + u01(shape) + u01(shape)
+        return (s - 2.0) * jnp.asarray(np.sqrt(3.0), f32)
+    u1 = u01(shape, lo=2.0 ** -25)
+    u2 = u01(shape)
+    rad = jnp.sqrt(-2.0 * jnp.log(u1))
+    return rad * jnp.cos(jnp.asarray(2.0 * np.pi, f32) * u2)
+
+
+def array_draw_gen(noise, rates, keep=None):
+    """Adapt host-provided ``noise (gens,V,C,N)`` / ``rates (gens,C,N)``
+    (+ optional pre-selection ``keep (gens,1,N)`` uniforms, secondary
+    mode) arrays to the per-generation ``draw_gen`` interface of
+    :func:`make_fullstep_inner`."""
+    def draw_gen(g):
+        if keep is None:
+            return noise[g], rates[g]
+        return noise[g], rates[g], keep[g]
+
+    return draw_gen
+
+
+# secondary-fitness row layout inside the packed ``sec (8·V, N)`` const:
+# per-variable coefficient/center rows of the joint-space quadratic
+#   sec(x) = Σ_v α(x−mid)² + β(x−seed)² + γ·relu(2|x−mid|−hspan)²
+#            + δ(x−tbar)²
+# covering center_joints (α), regularization/minimal_displacement (β),
+# avoid_joint_limits (γ) and joint_variable (δ) secondary goals
+# (reference: computeSecondaryFitnessActiveVariables, ik_base.h:163-185
+# over goal_types.h:410-533).  Constant offsets (inactive-variable goals,
+# the δ completion term) are dropped — every kernel use of the secondary
+# fitness (pre-selection ranking, memetic line-search differences,
+# gradients) is invariant to them.
+SEC_ROWS = ("alpha", "beta", "gamma", "delta", "tbar", "mid", "hspan",
+            "seed")
+
+
+def make_sec_eval(sec, V, sec_terms):
+    """Row-level secondary fitness + gradient over the packed ``sec``
+    const.  ``sec_terms`` ⊆ {"alpha","beta","gamma","delta"} statically
+    gates which terms the problem actually has (absent terms cost
+    nothing).  Returns ``(sec_of(xs) → (·,N), sec_grad(xs, v) → (·,N))``
+    for ``xs`` a list of V rows."""
+    ridx = {name: i for i, name in enumerate(SEC_ROWS)}
+
+    def row(name, v):
+        return sec[ridx[name] * V + v : ridx[name] * V + v + 1, :]
+
+    def terms_v(xs, v):
+        out = []
+        xm = xs[v] - row("mid", v)
+        es = xs[v] - row("seed", v)
+        if "alpha" in sec_terms:
+            out.append(("alpha", xm))
+        if "beta" in sec_terms:
+            out.append(("beta", es))
+        if "delta" in sec_terms:
+            out.append(("delta", xs[v] - row("tbar", v)))
+        return out, xm
+
+    def sec_of(xs):
+        acc = 0.0
+        for v in range(V):
+            quads, xm = terms_v(xs, v)
+            for name, e in quads:
+                acc = acc + row(name, v) * (e * e)
+            if "gamma" in sec_terms:
+                r = jnp.maximum(2.0 * jnp.abs(xm) - row("hspan", v), 0.0)
+                acc = acc + row("gamma", v) * (r * r)
+        return acc
+
+    def sec_grad(xs, v):
+        quads, xm = terms_v(xs, v)
+        g = 0.0
+        for name, e in quads:
+            g = g + 2.0 * row(name, v) * e
+        if "gamma" in sec_terms:
+            r = jnp.maximum(2.0 * jnp.abs(xm) - row("hspan", v), 0.0)
+            sgn = jnp.where(xm >= 0, 1.0, -1.0).astype(xs[v].dtype)
+            g = g + 4.0 * row("gamma", v) * r * sgn
+        return g
+
+    return sec_of, sec_grad
 
 
 def _comp(tipcomp, d):
@@ -45,7 +173,8 @@ def _is_zero(c):
 
 def make_fullstep_inner(model, tip_links: Sequence[str],
                         active_vars: Sequence[int],
-                        inst_tip: Sequence[int], sp: SpeciesParams):
+                        inst_tip: Sequence[int], sp: SpeciesParams,
+                        sec_terms: Sequence[str] = ()):
     """Build the fused step on (rows, N) arrays.
 
     ``inst_tip[k]`` maps goal instance k → tip index (into ``tip_links``).
@@ -53,20 +182,42 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
 
       inner(genes (P·V,N), grads (P·V,N), qfix (F,N) or None,
             gpos (K·3,N), gquat (K·4,N), wpos (K,N), wrot (K,N),
-            span/cmin/cmax (V,N), noise (gens,V,C,N), rates (gens,C,N))
+            span/cmin/cmax (V,N), [sec (8·V,N),] draw_gen)
         → genes' (P·V,N), grads' (P·V,N), tips_exact (T·7,N), fit (1,N)
+
+    ``draw_gen(g) → (noise (V,C,N), rates (C,N)[, keep_u (1,N)])``
+    supplies ONE generation's randomness at a time — in-kernel RNG
+    callers generate it on demand so only one generation's noise tile is
+    ever live in VMEM (the on-chip analog of streaming the reference's
+    8M-entry noise ring buffer, ik_base.h:49-126, instead of
+    materializing gens×V×C×N).
+
+    With a non-empty ``sec_terms`` the step evaluates joint-space
+    secondary goals in-kernel (packed ``sec`` const, see
+    :data:`SEC_ROWS`): each generation ranks children by secondary
+    fitness and keeps a random-count prefix for the primary selection
+    (the reference's pre-selection pass, ik_evolution_2.cpp:366-378),
+    and the memetic phase searches the combined fitness while accepting
+    on primary (reference :459-537: fa/f1/f3 combined, f4p vs f2p
+    primary).
     """
     fkr = FkRows(model, tip_links, active_vars)
     V, K, C = sp.V, sp.K, sp.C
     T = len(tip_links)
     C2 = C + _P
     F = len(fkr.fixed_vars)
+    secondary = bool(sec_terms)
 
     def row(a, i):
         return a[i : i + 1, :]
 
     def inner(genes, grads, qfix, gpos, gquat, wpos, wrot,
-              span, cmin, cmax, noise, rates):
+              span, cmin, cmax, *rest):
+        if secondary:
+            sec, draw_gen = rest
+            sec_of, sec_grad = make_sec_eval(sec, V, tuple(sec_terms))
+        else:
+            (draw_gen,) = rest
         f32 = genes.dtype
         N = genes.shape[-1]
 
@@ -133,11 +284,14 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
 
         # ---- generations (reference :349-431) ---------------------------
         for g in range(sp.gens):
-            rate = rates[g]
+            if secondary:
+                noise_g, rate, keep_u = draw_gen(g)
+            else:
+                noise_g, rate = draw_gen(g)
             pgrad = [p0r[v] * (1.0 - fmix) + p1r[v] * fmix for v in range(V)]
             cg, cr = [], []
             for v in range(V):
-                gv = p0g[v] + noise[g, v] * (rate * spn[v]) + pgrad[v] * gfac
+                gv = p0g[v] + noise_g[v] * (rate * spn[v]) + pgrad[v] * gfac
                 gv = jnp.clip(gv, clo[v], chi[v])
                 cg.append(gv)
                 cr.append(pgrad[v] * 0.7 + (gv - p0g[v]) * 0.3)
@@ -150,6 +304,26 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
             ]
             dq = [pool_g[v] - x0[v] for v in range(V)]
             fit, _ = fitness_of(phen_of(dq))
+
+            if secondary:
+                # pre-selection: rank children by secondary fitness, keep
+                # a random-count best prefix for the primary selection
+                # (reference :366-378)
+                ssec = sec_of(cg)                       # (C, N)
+                s_i = ssec[:, None, :]                  # (C, 1, N)
+                s_j = ssec[None, :, :]                  # (1, C, N)
+                ii = jax.lax.broadcasted_iota(jnp.int32, (C, C, 1), 0)
+                jj = jax.lax.broadcasted_iota(jnp.int32, (C, C, 1), 1)
+                beats = (s_j < s_i) | ((s_j == s_i) & (jj < ii))
+                rank = jnp.sum(beats.astype(jnp.int32), axis=1)   # (C, N)
+                kcount = (keep_u * (C - 1)).astype(jnp.int32) + 1  # ∈[1,C-1]
+                child_keep = rank < kcount
+                # parents always survive; mask dropped children to +inf
+                # (f32 concat — Mosaic cannot concatenate i1 vectors)
+                fit = jnp.concatenate(
+                    [fit[:_P],
+                     jnp.where(child_keep, fit[_P:],
+                               jnp.asarray(jnp.inf, f32))], axis=0)
 
             def pick(f):
                 m = jnp.min(f, axis=0, keepdims=True)
@@ -179,7 +353,11 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
             done = jnp.zeros((1, N), bool)
             for _ in range(sp.mem_iters):
                 ph = phen_of([x[v] - x0[v] for v in range(V)])
-                f2, sgns = fitness_of(ph)
+                f2p, sgns = fitness_of(ph)
+                # line search runs on the COMBINED fitness when secondary
+                # goals exist; acceptance stays primary-vs-primary
+                # (reference :459-537: fa = f2p + secondary, f4p < f2p)
+                f2 = f2p + sec_of(x) if secondary else f2p
 
                 grad = []
                 for v in range(V):
@@ -204,6 +382,8 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
                             acc_q = acc_q + c * e
                         gv = gv + 2.0 * (row(wpos, k) * acc_p
                                          + row(wrot, k) * acc_q)
+                    if secondary:
+                        gv = gv + sec_grad(x, v)
                     grad.append(gv)
 
                 l1 = 0.0
@@ -217,8 +397,13 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
                     for v in range(V)
                 ]
 
-                f1, _ = fitness_of(phen_of([x[v] - gdir[v] - x0[v] for v in range(V)]))
-                f3, _ = fitness_of(phen_of([x[v] + gdir[v] - x0[v] for v in range(V)]))
+                xm = [x[v] - gdir[v] for v in range(V)]
+                xp = [x[v] + gdir[v] for v in range(V)]
+                f1, _ = fitness_of(phen_of([xm[v] - x0[v] for v in range(V)]))
+                f3, _ = fitness_of(phen_of([xp[v] - x0[v] for v in range(V)]))
+                if secondary:
+                    f1 = f1 + sec_of(xm)
+                    f3 = f3 + sec_of(xp)
 
                 if sp.memetic == "q":
                     v1, v2 = f2 - f1, f3 - f2
@@ -240,7 +425,7 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
                     ]
 
                 f4, _ = fitness_of(phen_of([cand[v] - x0[v] for v in range(V)]))
-                accept = (f4 < f2) & ~done
+                accept = (f4 < f2p) & ~done
                 x = [jnp.where(accept, cand[v], x[v]) for v in range(V)]
                 done = done | ~accept
             p0g = x
@@ -270,18 +455,35 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
     return inner, F
 
 
+def make_rate_draw(rbits, sp, W):
+    """Mutation-rate ladder draw: rate = 2^(k−23), k ∈ [0,16), built from
+    exponent bits (reference: mutation_rate, ik_evolution_2.cpp:265)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    def draw_rates():
+        kb = rbits((sp.C, W)) & jnp.uint32(15)
+        return pltpu.bitcast(
+            ((kb + jnp.uint32(104)) << 23).astype(jnp.uint32), jnp.float32
+        )
+
+    return draw_rates
+
+
 def make_fullstep_kernel(model, tip_links, active_vars, inst_tip,
                          sp: SpeciesParams, block_n: int = 256,
-                         interpret: bool = False, inkernel_rng: bool = False):
+                         interpret: bool = False, inkernel_rng: bool = False,
+                         gauss_mode: str = "clt4"):
     """Pallas wrapper of :func:`make_fullstep_inner` blocked over lanes.
 
     With ``inkernel_rng``, the gaussian mutation noise and the mutation-
     rate ladder are generated inside the kernel from the TPU per-core
-    PRNG (Box–Muller over ``pltpu.prng_random_bits``; rates built
-    directly from exponent bits) — the on-chip analog of the reference's
-    precomputed 8M-entry noise ring buffers (ik_base.h:49-126), saving
-    the gens·V·C noise tensor's HBM round trip per step.  The caller
-    then passes a ``(1, 1)`` int32 seed instead of noise/rates arrays.
+    PRNG (``gauss_mode`` selects Irwin–Hall/Box–Muller, see
+    :func:`gauss_from_u01`; rates built directly from exponent bits) —
+    the on-chip analog of the reference's precomputed 8M-entry noise
+    ring buffers (ik_base.h:49-126), saving the gens·V·C noise tensor's
+    HBM round trip per step.  Draws happen one GENERATION at a time so
+    only a (V, C, W) noise tile is live in VMEM.  The caller then passes
+    a ``(1, 1)`` int32 seed instead of noise/rates arrays.
 
     Returns ``(fn, F)`` where F is the number of fixed-variable rows the
     caller must supply (``qfix (max(F,1), N)`` — a dummy row when F=0).
@@ -294,14 +496,14 @@ def make_fullstep_kernel(model, tip_links, active_vars, inst_tip,
     W = block_n
     Fq = max(F, 1)
 
-    def body(noise, rates, genes_ref, grads_ref, qfix_ref, gpos_ref,
+    def body(draw_gen, genes_ref, grads_ref, qfix_ref, gpos_ref,
              gquat_ref, wpos_ref, wrot_ref, span_ref, cmin_ref, cmax_ref,
              genes_out_ref, grads_out_ref, tips_out_ref, fit_out_ref):
         g, r, t, f = inner(
             genes_ref[:], grads_ref[:], qfix_ref[:],
             gpos_ref[:], gquat_ref[:], wpos_ref[:], wrot_ref[:],
             span_ref[:], cmin_ref[:], cmax_ref[:],
-            noise, rates,
+            draw_gen,
         )
         genes_out_ref[:] = g
         grads_out_ref[:] = r
@@ -314,28 +516,14 @@ def make_fullstep_kernel(model, tip_links, active_vars, inst_tip,
                    cmax_ref, genes_out_ref, grads_out_ref, tips_out_ref,
                    fit_out_ref):
             pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
-            shape = (sp.gens, V, C, W)
-            b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-            b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-            f32 = jnp.float32
-            # Box–Muller: u ∈ (2⁻²⁵, 1] from the top 24 bits
-            inv24 = jnp.asarray(1.0 / (1 << 24), f32)
-            # Mosaic lacks a uint32→f32 cast; the top-24-bit values fit
-            # int32, so bitcast first
-            i1 = pltpu.bitcast(b1 >> 8, jnp.int32)
-            i2 = pltpu.bitcast(b2 >> 8, jnp.int32)
-            u1 = i1.astype(f32) * inv24 + jnp.asarray(2.0 ** -25, f32)
-            u2 = i2.astype(f32) * inv24
-            rad = jnp.sqrt(-2.0 * jnp.log(u1))
-            noise = rad * jnp.cos(jnp.asarray(2.0 * np.pi, f32) * u2)
-            # rate = 2^(k−23), k ∈ [0,16): exponent-bits construction
-            kb = pltpu.bitcast(
-                pltpu.prng_random_bits((sp.gens, C, W)), jnp.uint32
-            ) & jnp.uint32(15)
-            rates = pltpu.bitcast(
-                ((kb + jnp.uint32(104)) << 23).astype(jnp.uint32), f32
-            )
-            body(noise, rates, genes_ref, grads_ref, qfix_ref, gpos_ref,
+            rbits, u01 = make_rng_helpers()
+            draw_rates = make_rate_draw(rbits, sp, W)
+
+            def draw_gen(_g):
+                noise = gauss_from_u01(u01, (V, C, W), gauss_mode)
+                return noise, draw_rates()
+
+            body(draw_gen, genes_ref, grads_ref, qfix_ref, gpos_ref,
                  gquat_ref, wpos_ref, wrot_ref, span_ref, cmin_ref,
                  cmax_ref, genes_out_ref, grads_out_ref, tips_out_ref,
                  fit_out_ref)
@@ -344,7 +532,8 @@ def make_fullstep_kernel(model, tip_links, active_vars, inst_tip,
                    wpos_ref, wrot_ref, span_ref, cmin_ref, cmax_ref,
                    noise_ref, rates_ref,
                    genes_out_ref, grads_out_ref, tips_out_ref, fit_out_ref):
-            body(noise_ref[:], rates_ref[:], genes_ref, grads_ref, qfix_ref,
+            body(array_draw_gen(noise_ref[:], rates_ref[:]),
+                 genes_ref, grads_ref, qfix_ref,
                  gpos_ref, gquat_ref, wpos_ref, wrot_ref, span_ref,
                  cmin_ref, cmax_ref, genes_out_ref, grads_out_ref,
                  tips_out_ref, fit_out_ref)
@@ -397,8 +586,9 @@ def make_fullstep_kernel(model, tip_links, active_vars, inst_tip,
                 bytes_accessed=4 * N * (sp.gens * V * C + sp.gens * C
                                         + 4 * _P * V + 3 * V + Fq),
                 transcendentals=(2 * nlinks
-                                 + (3 * sp.gens * V * C if inkernel_rng else 0)
-                                 ) * N,
+                                 + (3 * sp.gens * V * C
+                                    if inkernel_rng and gauss_mode != "clt4"
+                                    else 0)) * N,
             ),
             interpret=interpret,
         )(*args)

@@ -37,7 +37,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from .bio2_step import SpeciesParams, _P
-from .bio2_fullstep import make_fullstep_inner
+from .bio2_fullstep import (
+    array_draw_gen,
+    gauss_from_u01,
+    make_fullstep_inner,
+    make_rate_draw,
+    make_rng_helpers,
+)
 
 __all__ = ["make_megastep_body", "make_megastep_kernel"]
 
@@ -45,7 +51,8 @@ _WIPEOUT_P = 0.1  # reference: ik_evolution_2.cpp:632
 
 
 def make_megastep_body(model, tip_links, active_vars, inst_tip,
-                       sp: SpeciesParams, n_steps: int, *, use_pltpu_roll):
+                       sp: SpeciesParams, n_steps: int, *, use_pltpu_roll,
+                       sec_terms=()):
     """Build the chunk body over ``(rows, N)`` arrays.
 
     Returns ``(body, F)``; ``body(state, consts, draw)`` advances the
@@ -54,15 +61,22 @@ def make_megastep_body(model, tip_links, active_vars, inst_tip,
       state  = (genes (2V,N), grads (2V,N), sfit (1,N),
                 sol (V,N), sol_fit (1,N), sol_tips (T·7,N))
       consts = (qfix (max(F,1),N), gpos (K·3,N), gquat (K·4,N),
-                wpos (K,N), wrot (K,N), span/cmin/cmax/amin/amax (V,N))
-      draw(i) → (noise (gens,V,C,N), rates (gens,C,N),
-                 wipe_u (1,N), wipe_g (V,N))   per-step randomness
+                wpos (K,N), wrot (K,N), span/cmin/cmax/amin/amax (V,N)
+                [, sec (8·V,N) when sec_terms])
+      draw(i) → (draw_gen, wipe_u (1,N), wipe_g (V,N))   per-step
+                randomness; draw_gen(g) → (noise (V,C,N), rates (C,N)
+                [, keep_u (1,N)]) supplies one generation at a time
+                (in-kernel RNG keeps only a (V,C,W) noise tile live in
+                VMEM)
 
     ``sfit`` is the previous step's exact species fitness (∞ initially)
     used for the stagnation test (reference :620-637); ``sol*`` is the
-    per-lane incumbent.
+    per-lane incumbent.  ``sec_terms`` enables in-kernel joint-space
+    secondary goals (see :func:`bio2_fullstep.make_fullstep_inner`).
     """
-    inner, F = make_fullstep_inner(model, tip_links, active_vars, inst_tip, sp)
+    inner, F = make_fullstep_inner(model, tip_links, active_vars, inst_tip,
+                                   sp, sec_terms=sec_terms)
+    secondary = bool(sec_terms)
     V = sp.V
     T = len(tip_links)
 
@@ -77,7 +91,14 @@ def make_megastep_body(model, tip_links, active_vars, inst_tip,
 
     def body(state, consts, draw):
         genes0, grads0, sfit0, sol0, sol_fit0, sol_tips0 = state
-        qfix, gpos, gquat, wpos, wrot, span, cmin, cmax, amin, amax = consts
+        if secondary:
+            (qfix, gpos, gquat, wpos, wrot, span, cmin, cmax, amin, amax,
+             sec) = consts
+            sec_args = (sec,)
+        else:
+            qfix, gpos, gquat, wpos, wrot, span, cmin, cmax, amin, amax = \
+                consts
+            sec_args = ()
         f32 = genes0.dtype
         N = genes0.shape[-1]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
@@ -89,11 +110,11 @@ def make_megastep_body(model, tip_links, active_vars, inst_tip,
 
         def step(i, carry):
             genes, grads, sfit, sol, sol_fit, sol_tips = carry
-            noise, rates, wipe_u, wipe_g = draw(i)
+            draw_gen, wipe_u, wipe_g = draw(i)
 
             genes, grads, tips, fit = inner(
                 genes, grads, qfix, gpos, gquat, wpos, wrot,
-                span, cmin, cmax, noise, rates,
+                span, cmin, cmax, *sec_args, draw_gen,
             )
 
             # per-lane incumbent update (reference :640-644, per-lane
@@ -138,19 +159,23 @@ def make_megastep_kernel(model, tip_links, active_vars, inst_tip,
                          sp: SpeciesParams, n_steps: int,
                          block_n: int = 256, interpret: bool = False,
                          inkernel_rng: bool = True,
-                         gauss_mode: str = "clt4"):
+                         gauss_mode: str = "clt4", sec_terms=()):
     """Pallas wrapper of :func:`make_megastep_body` blocked over lanes.
 
     With ``inkernel_rng`` (compiled TPU runs) all per-step randomness —
     mutation noise, rate ladder, wipeout coin flips and restart genes —
-    comes from the on-chip PRNG; the caller passes a ``(1, 1)`` int32
-    seed.  Without it (interpret/CPU testing) the caller provides
-    ``noise (steps·gens, V, C, N)``, ``rates (steps·gens, C, N)``,
-    ``wipe_u (steps, 1, N)`` and ``wipe_g (steps, V, N)``.
+    comes from the on-chip PRNG, drawn one GENERATION at a time (only a
+    (V, C, W) noise tile is ever live in VMEM); the caller passes a
+    ``(1, 1)`` int32 seed plus a ``(1, N)`` int32 per-lane ``salt`` row
+    XORed into every draw (the per-scenario PRNG key injection — see
+    :func:`bio2_fullstep.make_rng_helpers`).  Without it (interpret/CPU
+    testing) the caller provides ``noise (steps·gens, V, C, N)``,
+    ``rates (steps·gens, C, N)``, ``wipe_u (steps, 1, N)`` and
+    ``wipe_g (steps, V, N)``.
 
     Signature of the returned function::
 
-      run(seed?, genes, grads, sfit, sol, sol_fit, sol_tips,
+      run(seed?, salt?, genes, grads, sfit, sol, sol_fit, sol_tips,
           qfix, gpos, gquat, wpos, wrot, span, cmin, cmax, amin, amax,
           [noise, rates, wipe_u, wipe_g])
         → (genes', grads', sfit', sol', sol_fit', sol_tips')
@@ -162,95 +187,65 @@ def make_megastep_kernel(model, tip_links, active_vars, inst_tip,
 
     body, F = make_megastep_body(
         model, tip_links, active_vars, inst_tip, sp, n_steps,
-        use_pltpu_roll=not interpret,
+        use_pltpu_roll=not interpret, sec_terms=sec_terms,
     )
+    secondary = bool(sec_terms)
     V, K, C = sp.V, sp.K, sp.C
     T = len(tip_links)
     W = block_n
     Fq = max(F, 1)
     nst = n_steps
-
-    def consts_of(refs):
-        return tuple(r[:] for r in refs)
+    NCONST = 10 + (1 if secondary else 0)   # + packed sec rows
+    NRNG = 4 + (1 if secondary else 0)      # + keep uniforms (host noise)
 
     if inkernel_rng:
-        def kernel(seed_ref, genes_ref, grads_ref, sfit_ref, sol_ref,
-                   sol_fit_ref, sol_tips_ref, qfix_ref, gpos_ref, gquat_ref,
-                   wpos_ref, wrot_ref, span_ref, cmin_ref, cmax_ref,
-                   amin_ref, amax_ref,
-                   genes_o, grads_o, sfit_o, sol_o, sol_fit_o, sol_tips_o):
+        def kernel(*refs):
+            seed_ref, salt_ref = refs[0], refs[1]
+            state_refs = refs[2:8]
+            const_refs = refs[8:8 + NCONST]
+            out_refs = refs[8 + NCONST:]
             pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
-            f32 = jnp.float32
-            inv24 = jnp.asarray(1.0 / (1 << 24), f32)
-
-            def u01(shape, lo=0.0):
-                bits = pltpu.bitcast(pltpu.prng_random_bits(shape),
-                                     jnp.uint32)
-                i = pltpu.bitcast(bits >> 8, jnp.int32)
-                return i.astype(f32) * inv24 + jnp.asarray(lo, f32)
+            rbits, u01 = make_rng_helpers(salt_ref[:])
+            draw_rates = make_rate_draw(rbits, sp, W)
 
             def draw(_i):
-                shape = (sp.gens, V, C, W)
-                if gauss_mode == "clt4":
-                    # Irwin–Hall CLT: (Σ₄ u01 − 2)·√3 has unit variance
-                    # and is transcendental-free — Box–Muller's
-                    # log/sqrt/cos per sample dominated the VPU budget
-                    # (gens·V·C samples per lane-step).  Tails truncate
-                    # at ±2√3 σ ≈ ±3.46 σ, irrelevant for mutation noise
-                    # (global exploration comes from wipeout restarts,
-                    # reference: ik_evolution_2.cpp:620-637, not tails).
-                    s = u01(shape) + u01(shape) + u01(shape) + u01(shape)
-                    noise = (s - 2.0) * jnp.asarray(np.sqrt(3.0), f32)
-                else:
-                    # Box–Muller; u1 ∈ (2⁻²⁵, 1] avoids log(0)
-                    u1 = u01(shape, lo=2.0 ** -25)
-                    u2 = u01(shape)
-                    rad = jnp.sqrt(-2.0 * jnp.log(u1))
-                    noise = rad * jnp.cos(jnp.asarray(2.0 * np.pi, f32) * u2)
-                # rate = 2^(k−23), k ∈ [0,16): exponent-bit construction
-                kb = pltpu.bitcast(
-                    pltpu.prng_random_bits((sp.gens, C, W)), jnp.uint32
-                ) & jnp.uint32(15)
-                rates = pltpu.bitcast(
-                    ((kb + jnp.uint32(104)) << 23).astype(jnp.uint32), f32
-                )
-                return noise, rates, u01((1, W)), u01((V, W))
+                def draw_gen(_g):
+                    noise = gauss_from_u01(u01, (V, C, W), gauss_mode)
+                    if secondary:
+                        return noise, draw_rates(), u01((1, W))
+                    return noise, draw_rates()
 
-            state = (genes_ref[:], grads_ref[:], sfit_ref[:], sol_ref[:],
-                     sol_fit_ref[:], sol_tips_ref[:])
-            consts = consts_of((qfix_ref, gpos_ref, gquat_ref, wpos_ref,
-                                wrot_ref, span_ref, cmin_ref, cmax_ref,
-                                amin_ref, amax_ref))
-            out = body(state, consts, draw)
-            for ref, val in zip(
-                (genes_o, grads_o, sfit_o, sol_o, sol_fit_o, sol_tips_o), out
-            ):
+                return draw_gen, u01((1, W)), u01((V, W))
+
+            out = body(tuple(r[:] for r in state_refs),
+                       tuple(r[:] for r in const_refs), draw)
+            for ref, val in zip(out_refs, out):
                 ref[:] = val
     else:
-        def kernel(genes_ref, grads_ref, sfit_ref, sol_ref, sol_fit_ref,
-                   sol_tips_ref, qfix_ref, gpos_ref, gquat_ref, wpos_ref,
-                   wrot_ref, span_ref, cmin_ref, cmax_ref, amin_ref,
-                   amax_ref, noise_ref, rates_ref, wu_ref, wg_ref,
-                   genes_o, grads_o, sfit_o, sol_o, sol_fit_o, sol_tips_o):
+        def kernel(*refs):
+            state_refs = refs[0:6]
+            const_refs = refs[6:6 + NCONST]
+            rng_refs = refs[6 + NCONST:6 + NCONST + NRNG]
+            out_refs = refs[6 + NCONST + NRNG:]
+            noise_ref, rates_ref, wu_ref, wg_ref = rng_refs[:4]
+
             def draw(i):
                 g0 = i * sp.gens
                 noise = jax.lax.dynamic_slice_in_dim(
                     noise_ref[:], g0, sp.gens, axis=0)
                 rates = jax.lax.dynamic_slice_in_dim(
                     rates_ref[:], g0, sp.gens, axis=0)
+                keep = None
+                if secondary:
+                    keep = jax.lax.dynamic_slice_in_dim(
+                        rng_refs[4][:], g0, sp.gens, axis=0)
                 wu = jax.lax.dynamic_slice_in_dim(wu_ref[:], i, 1, axis=0)[0]
                 wg = jax.lax.dynamic_slice_in_dim(wg_ref[:], i, 1, axis=0)[0]
-                return noise, rates, wu, wg
+                return array_draw_gen(noise, rates, keep), wu, wg
 
-            state = (genes_ref[:], grads_ref[:], sfit_ref[:], sol_ref[:],
-                     sol_fit_ref[:], sol_tips_ref[:])
-            consts = consts_of((qfix_ref, gpos_ref, gquat_ref, wpos_ref,
-                                wrot_ref, span_ref, cmin_ref, cmax_ref,
-                                amin_ref, amax_ref))
-            out = body(state, consts, draw)
-            for ref, val in zip(
-                (genes_o, grads_o, sfit_o, sol_o, sol_fit_o, sol_tips_o), out
-            ):
+            out = body(tuple(r[:] for r in state_refs),
+                       tuple(r[:] for r in const_refs), draw)
+            for ref, val in zip(out_refs, out):
                 ref[:] = val
 
     def spec2(rows):
@@ -261,14 +256,17 @@ def make_megastep_kernel(model, tip_links, active_vars, inst_tip,
     state_specs = [spec2(r) for r in state_rows]
     const_specs = [spec2(Fq), spec2(K * 3), spec2(K * 4), spec2(K), spec2(K),
                    spec2(V), spec2(V), spec2(V), spec2(V), spec2(V)]
+    if secondary:
+        const_specs.append(spec2(8 * V))     # packed sec rows (SEC_ROWS)
     if inkernel_rng:
         in_specs = [
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            spec2(1),  # per-lane salt
         ] + state_specs + const_specs
-        # alias the 6 state inputs (after the seed) onto the 6 outputs
-        aliases = {1 + j: j for j in range(6)}
+        # alias the 6 state inputs (after seed + salt) onto the 6 outputs
+        aliases = {2 + j: j for j in range(6)}
     else:
-        in_specs = state_specs + const_specs + [
+        rng_specs = [
             pl.BlockSpec((nst * sp.gens, V, C, W), lambda i: (0, 0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nst * sp.gens, C, W), lambda i: (0, 0, i),
@@ -278,6 +276,11 @@ def make_megastep_kernel(model, tip_links, active_vars, inst_tip,
             pl.BlockSpec((nst, V, W), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ]
+        if secondary:
+            rng_specs.append(
+                pl.BlockSpec((nst * sp.gens, 1, W), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM))
+        in_specs = state_specs + const_specs + rng_specs
         aliases = {j: j for j in range(6)}
     out_specs = tuple(spec2(r) for r in state_rows)
 
@@ -288,7 +291,7 @@ def make_megastep_kernel(model, tip_links, active_vars, inst_tip,
 
     @jax.jit
     def run(*args):
-        genes = args[1] if inkernel_rng else args[0]
+        genes = args[2] if inkernel_rng else args[0]
         N = genes.shape[-1]
         if N % W:
             raise ValueError(f"lane batch {N} not a multiple of {W}")

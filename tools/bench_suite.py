@@ -8,8 +8,10 @@ the single-line headline benchmark; this is the coverage sweep:
   * PR2 right arm, 7 DOF, single pose goal (headline, fused fullstep)
   * UR5, 6 DOF, single pose goal (fused fullstep)
   * PR2 dual-arm, 17 DOF, two pose goals (fused fullstep, multi-tip)
-  * snake-32, 32 DOF, position goal (vmapped XLA path — over the fused
-    unroll guard; approximate convergence config)
+  * snake-32, 32 DOF, position goal (fused fullstep — high-DOF tier)
+  * humanoid-30, 3 tips (fused fullstep)
+  * PR2 + MinimalDisplacement/AvoidJointLimits regularizers (fused
+    fullstep with in-kernel secondary pre-selection)
 
 Usage: ``python tools/bench_suite.py`` (on the TPU chip).
 BENCH_BATCH overrides the batch size (default 2048).
@@ -120,12 +122,15 @@ def main():
          G.PoseGoal(link="l_gripper_tool_frame")],
         SolverConfig(mode="bio2_memetic", dtwist=1e-3), 1e-3,
     )
+    # BASELINE.json config 4: 30+ DOF approximate convergence — the
+    # fused fullstep tier handles high-DOF chains (measured 13.5× the
+    # vmapped path on this config)
     run_config(
         "snake32_position", "snake.urdf", ["head"],
         [G.PositionGoal(link="head")],
         SolverConfig(mode="bio2_memetic", dpos=5e-3, dtwist=float("inf"),
                      max_steps=16),
-        5e-3, batch=min(B, 512), adaptive=False,
+        5e-3, adaptive=False,
     )
     # BASELINE.json config 2: bio1 + gradient-descent modes on UR5
     # (vmapped XLA solver paths — neither qualifies for the fused engine)
@@ -149,19 +154,31 @@ def main():
         SolverConfig(mode="bio2_memetic", dtwist=1e-3), 1e-3,
     )
     # BASELINE.json config 4b: 30-DOF branching humanoid, 3 simultaneous
-    # tips (whole-body `all`-group analog) — vmapped XLA path
+    # tips (whole-body `all`-group analog) — fused fullstep tier
     run_config(
         "humanoid_whole_body", "humanoid.urdf", ["r_hand", "l_hand", "head"],
         [G.PoseGoal(link="r_hand"), G.PoseGoal(link="l_hand"),
          G.PoseGoal(link="head")],
         SolverConfig(mode="bio2_memetic", dpos=5e-2, dtwist=float("inf"),
                      max_steps=32),
-        5e-2, batch=min(B, 256), adaptive=False,
+        5e-2, batch=min(B, 1024), adaptive=False,
+    )
+    # the reference's RECOMMENDED production config (pose + minimal-
+    # displacement + avoid-joint-limits regularizers, kinematics_plugin
+    # .cpp:286-329) — joint-space secondary goals stay on the fused path
+    # (in-kernel pre-selection, ik_evolution_2.cpp:366-378)
+    run_config(
+        "pr2_arm_pose_regularized", "pr2_arm.urdf", ["r_gripper_tool_frame"],
+        [G.PoseGoal(link="r_gripper_tool_frame"),
+         G.MinimalDisplacementGoal(weight=0.05),
+         G.AvoidJointLimitsGoal(weight=0.05)],
+        SolverConfig(mode="bio2_memetic", dtwist=1e-3), 1e-3,
     )
     # BASELINE.json config 3: weighted multi-goal dual-arm — PoseGoal +
     # LookAtGoal primaries with MinimalDisplacement + AvoidJointLimits
-    # secondaries (secondary goals route off the fused engine: the
-    # pre-selection pass runs in the vmapped solver, SURVEY C18/§3.4)
+    # secondaries (the LOOKAT primary routes this off the fused engine;
+    # joint-space secondaries alone would stay fused, see
+    # pr2_arm_pose_regularized above)
     run_config(
         "pr2_dual_multigoal", "pr2_dual.urdf",
         ["r_gripper_tool_frame", "l_gripper_tool_frame"],
