@@ -140,17 +140,22 @@ class PlaneGoal(Goal):
 
 @dataclass(frozen=True)
 class TouchGoal(Goal):
-    """Signed distance of the link's collision points to a plane, squared
+    """Signed distance of the link's collision surface to a plane, squared
     (reference: goal_types.h:330-377, goal_types.cpp:45-228 — there a
     convex-mesh support function over FCL geometry; here the surface is a
-    user-supplied point cloud in link coordinates, and the support point is
-    an exact max over points — the dense-batch analog of the reference's
-    edge-walk hill climb)."""
+    convex point cloud in link coordinates and the support point is an
+    exact max over points — the dense-batch analog of the reference's
+    edge-walk hill climb).
+
+    ``points`` empty (the default) derives the cloud from the link's URDF
+    collision primitives (``RobotModel.collision_points``), matching the
+    reference's automatic collision-geometry derivation; a non-empty
+    tuple supplies the surface explicitly (e.g. for mesh links)."""
 
     link: str = ""
     position: Vec3 = (0.0, 0.0, 0.0)
     normal: Vec3 = (0.0, 0.0, 1.0)
-    points: Tuple[Vec3, ...] = ((0.0, 0.0, 0.0),)  # link-local surface points
+    points: Tuple[Vec3, ...] = ()  # link-local surface; () ⇒ from URDF
 
 
 @dataclass(frozen=True)

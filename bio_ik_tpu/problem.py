@@ -501,14 +501,21 @@ def _eval_plane(problem, grp, gdata, tips, qa, data):
 
 @_builder("touch")
 def _build_touch(problem, items):
-    # pad per-goal point clouds to a common length
-    maxp = max(len(g.points) for g, _ in items)
     grp = _simple_group(
         items, position=lambda g: g.position, normal=lambda g: _norm(g.normal)
     )
+    # surface clouds: explicit points, or derived from the link's URDF
+    # collision primitives (reference: goal_types.cpp:45-228 derives
+    # them from the MoveIt/FCL collision model automatically)
+    clouds = [
+        np.asarray(g.points, np.float64)
+        if g.points else problem.model.collision_points(g.link)
+        for g, _ in items
+    ]
+    # pad per-goal point clouds to a common length
+    maxp = max(len(c) for c in clouds)
     pts = np.zeros((len(items), maxp, 3))
-    for i, (g, _) in enumerate(items):
-        p = np.asarray(g.points, np.float64)
+    for i, p in enumerate(clouds):
         pts[i, : len(p)] = p
         pts[i, len(p) :] = p[-1]  # pad with last point (no effect on min)
     grp.params["points"] = pts

@@ -109,11 +109,14 @@ class RobotModel:
         self.masses = np.zeros(L, dtype=np.float64)
         self.coms = np.zeros((L, 3), dtype=np.float64)
 
+        self.collisions: Dict[str, list] = {}
         for name in order:
             li = self.link_index[name]
             link = urdf.links[name]
             self.masses[li] = link.mass
             self.coms[li] = link.com
+            if link.collisions:
+                self.collisions[name] = list(link.collisions)
 
         # ---- variable allocation (topological joint order) --------------
         var_names: List[str] = []
@@ -236,6 +239,63 @@ class RobotModel:
     @property
     def nvars(self) -> int:
         return len(self.var_names)
+
+    def collision_points(self, link_name: str, ring: int = 8,
+                         sphere_points: int = 42) -> np.ndarray:
+        """Convex support point cloud of the link's URDF collision
+        primitives, in link coordinates — the counterpart of the
+        reference's FCL-derived TouchGoal collision geometry
+        (reference: goal_types.cpp:45-228, where convex meshes/
+        primitives come from MoveIt's collision model).
+
+        Boxes contribute their 8 corners (exact support set), cylinders
+        two ``ring``-point end rings (chordal approximation), spheres a
+        ``sphere_points`` Fibonacci sampling of the surface.  Shape
+        origins are applied.  Raises if the link has no primitive
+        collision geometry.
+        """
+        shapes = self.collisions.get(link_name)
+        if not shapes:
+            raise ValueError(
+                f"link {link_name!r} has no primitive collision geometry "
+                "in the URDF (TouchGoal needs explicit `points` for it)"
+            )
+        out = []
+        for s in shapes:
+            if s.shape == "box":
+                sx, sy, sz = (d / 2.0 for d in s.size)
+                pts = np.array([(x, y, z)
+                                for x in (-sx, sx)
+                                for y in (-sy, sy)
+                                for z in (-sz, sz)])
+            elif s.shape == "cylinder":
+                r, ln = s.size
+                ang = 2.0 * np.pi * np.arange(ring) / ring
+                circ = np.stack([r * np.cos(ang), r * np.sin(ang)], axis=-1)
+                pts = np.concatenate([
+                    np.concatenate([circ, np.full((ring, 1), z)], axis=-1)
+                    for z in (-ln / 2.0, ln / 2.0)
+                ])
+            elif s.shape == "sphere":
+                (r,) = s.size
+                i = np.arange(sphere_points, dtype=np.float64) + 0.5
+                phi = np.arccos(1.0 - 2.0 * i / sphere_points)
+                theta = np.pi * (1.0 + 5.0 ** 0.5) * i
+                pts = r * np.stack([
+                    np.cos(theta) * np.sin(phi),
+                    np.sin(theta) * np.sin(phi),
+                    np.cos(phi),
+                ], axis=-1)
+            else:  # pragma: no cover — parser only emits the three above
+                raise ValueError(f"unsupported collision shape {s.shape!r}")
+            x, y, z, w = _rpy_to_quat(*s.origin_rpy)
+            R = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ])
+            out.append(pts @ R.T + np.asarray(s.origin_xyz))
+        return np.concatenate(out, axis=0)
 
     def ancestors(self, link_idx: int) -> List[int]:
         """Root→link chain of link indices (inclusive)."""

@@ -5,9 +5,13 @@ parameter server, kinematics_plugin.cpp:167-189).  This framework instead
 parses URDF XML directly into plain dataclasses, which
 :mod:`bio_ik_tpu.robot.model` then compiles into device arrays.
 
-Only the kinematics-relevant subset is parsed: links (name + inertial for
-center-of-mass goals), joints (type, parent/child, origin, axis, limits,
-mimic).  Geometry/collision/visual elements are ignored.
+Parsed subset: links (name + inertial for center-of-mass goals +
+collision primitives for TouchGoal surface derivation), joints (type,
+parent/child, origin, axis, limits, mimic).  Visual elements and mesh
+file references are ignored (mesh collision shapes would need the mesh
+asset; the reference loads them through MoveIt/FCL,
+goal_types.cpp:45-228 — here primitive collision geometry is compiled
+to convex support point clouds, see RobotModel.collision_points).
 """
 
 from __future__ import annotations
@@ -17,7 +21,8 @@ import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
-__all__ = ["UrdfJoint", "UrdfLink", "UrdfRobot", "parse_urdf", "load_urdf"]
+__all__ = ["UrdfCollision", "UrdfJoint", "UrdfLink", "UrdfRobot",
+           "parse_urdf", "load_urdf"]
 
 # Joint type ids shared with the compiled model. FIXED must be 0 (default).
 FIXED, REVOLUTE, PRISMATIC, FLOATING, PLANAR = 0, 1, 2, 3, 4
@@ -51,10 +56,25 @@ class UrdfJoint:
 
 
 @dataclass
+class UrdfCollision:
+    """One primitive collision shape of a link, in link coordinates.
+
+    ``shape`` ∈ {"box", "cylinder", "sphere"}; ``size`` holds (sx,sy,sz)
+    for boxes, (radius, length) for cylinders, (radius,) for spheres.
+    """
+
+    shape: str
+    size: Tuple[float, ...]
+    origin_xyz: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    origin_rpy: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+@dataclass
 class UrdfLink:
     name: str
     mass: float = 0.0
     com: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # inertial origin xyz
+    collisions: List["UrdfCollision"] = field(default_factory=list)
 
 
 @dataclass
@@ -93,7 +113,34 @@ def parse_urdf(xml_text: str) -> UrdfRobot:
             origin_el = inertial.find("origin")
             if origin_el is not None and origin_el.get("xyz"):
                 com = _floats(origin_el.get("xyz"))
-        robot.links[name] = UrdfLink(name=name, mass=mass, com=com)
+        collisions = []
+        for col_el in link_el.findall("collision"):
+            geom_el = col_el.find("geometry")
+            if geom_el is None:
+                continue
+            shape = None
+            if (box := geom_el.find("box")) is not None and box.get("size"):
+                shape = UrdfCollision("box", _floats(box.get("size")))
+            elif (cyl := geom_el.find("cylinder")) is not None:
+                shape = UrdfCollision(
+                    "cylinder",
+                    (float(cyl.get("radius", "0")),
+                     float(cyl.get("length", "0"))),
+                )
+            elif (sph := geom_el.find("sphere")) is not None:
+                shape = UrdfCollision("sphere",
+                                      (float(sph.get("radius", "0")),))
+            if shape is None:
+                continue  # mesh / unknown geometry: skip (module docstring)
+            origin_el = col_el.find("origin")
+            if origin_el is not None:
+                if origin_el.get("xyz"):
+                    shape.origin_xyz = _floats(origin_el.get("xyz"))
+                if origin_el.get("rpy"):
+                    shape.origin_rpy = _floats(origin_el.get("rpy"))
+            collisions.append(shape)
+        robot.links[name] = UrdfLink(name=name, mass=mass, com=com,
+                                     collisions=collisions)
 
     for joint_el in root.findall("joint"):
         jtype_str = joint_el.get("type")

@@ -131,6 +131,36 @@ def test_line_plane_goals(arm, rng):
     np.testing.assert_allclose(f, (pos - origin).dot(normal) ** 2, rtol=1e-3, atol=1e-7)
 
 
+def test_touch_goal_auto_collision_surface(arm, rng):
+    """TouchGoal with no explicit points derives the surface from the
+    link's URDF collision primitives (reference derives it from the
+    MoveIt/FCL collision model, goal_types.cpp:45-228), and the deepest
+    point matches the native convex support oracle."""
+    q = random_q(arm, rng)
+    pos, rot = tip_pose(arm, q)
+    pts = arm.collision_points(TIP)               # 8 box corners
+    assert pts.shape == (8, 3)
+    normal = np.array([0.0, 0.0, 1.0])
+    plane_pos = np.array([0.0, 0.0, -0.5])
+    f, _, _, _ = eval_fitness(
+        arm, [G.TouchGoal(link=TIP, position=tuple(plane_pos),
+                          normal=tuple(normal))], q
+    )
+    world = pos + rot.apply(pts)
+    sd = (world - plane_pos) @ normal
+    np.testing.assert_allclose(f, np.min(sd) ** 2, rtol=1e-3, atol=1e-7)
+
+    from bio_ik_tpu import native
+
+    if native.available():
+        # support point along -normal in link coordinates == deepest
+        # point along the plane normal (ties broken identically: the
+        # box corners are distinct along any generic direction)
+        d_link = rot.inv().apply(-normal)
+        i_native = native.support_point(pts, d_link)
+        assert i_native == int(np.argmin(sd))
+
+
 def test_touch_goal(arm, rng):
     q = random_q(arm, rng)
     pos, rot = tip_pose(arm, q)

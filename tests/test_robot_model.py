@@ -80,3 +80,54 @@ def test_fixed_joints_excluded():
 def test_bad_urdf_errors():
     with pytest.raises(ValueError):
         parse_urdf("<robot name='x'><link name='a'/><link name='b'/></robot>").root_link
+
+
+COLLISION_URDF = """
+<robot name="colbot">
+  <link name="base"/>
+  <link name="tool">
+    <collision>
+      <origin xyz="0.1 0 0" rpy="0 0 1.5707963"/>
+      <geometry><box size="0.2 0.4 0.6"/></geometry>
+    </collision>
+    <collision>
+      <geometry><cylinder radius="0.05" length="0.3"/></geometry>
+    </collision>
+    <collision>
+      <origin xyz="0 0 0.5"/>
+      <geometry><sphere radius="0.1"/></geometry>
+    </collision>
+  </link>
+  <joint name="j" type="revolute">
+    <parent link="base"/><child link="tool"/>
+    <axis xyz="0 0 1"/><limit lower="-1" upper="1" velocity="1"/>
+  </joint>
+</robot>
+"""
+
+
+def test_collision_geometry_parsing_and_points():
+    """URDF collision primitives compile to convex support point clouds
+    (reference derives TouchGoal surfaces from the FCL collision model,
+    goal_types.cpp:45-228)."""
+    m = RobotModel.from_urdf_string(COLLISION_URDF)
+    assert "tool" in m.collisions and len(m.collisions["tool"]) == 3
+    pts = m.collision_points("tool", ring=8, sphere_points=20)
+    assert pts.shape == (8 + 16 + 20, 3)
+    box = pts[:8]
+    # box rotated 90° about z: x-extent becomes the 0.4 side (±0.2),
+    # y-extent the 0.2 side (±0.1), centered at (0.1, 0, 0)
+    np.testing.assert_allclose(box[:, 0].max(), 0.1 + 0.2, atol=1e-5)
+    np.testing.assert_allclose(box[:, 0].min(), 0.1 - 0.2, atol=1e-5)
+    np.testing.assert_allclose(box[:, 1].max(), 0.1, atol=1e-5)
+    np.testing.assert_allclose(box[:, 2].max(), 0.3, atol=1e-5)
+    cyl = pts[8:24]
+    np.testing.assert_allclose(
+        np.linalg.norm(cyl[:, :2], axis=-1), 0.05, atol=1e-6)
+    assert set(np.round(cyl[:, 2], 6)) == {-0.15, 0.15}
+    sph = pts[24:]
+    np.testing.assert_allclose(
+        np.linalg.norm(sph - np.array([0, 0, 0.5]), axis=-1), 0.1, atol=1e-6)
+    # link without collision geometry raises
+    with pytest.raises(ValueError, match="no primitive collision"):
+        m.collision_points("base")
