@@ -46,7 +46,7 @@ def run_bench():
     # B and K chosen from the measured throughput plateau
     # (tools/bench_scaling.py): larger batches amortize the tunnel's fixed
     # per-dispatch latency; deeper queues overlap dispatch with compute.
-    B = int(os.environ.get("BENCH_BATCH", "32768"))
+    B = int(os.environ.get("BENCH_BATCH", "65536"))
 
     m = RobotModel.from_urdf_file(asset_path("pr2_arm.urdf"))
     tip = "r_gripper_tool_frame"
@@ -59,14 +59,14 @@ def run_bench():
     # adaptive multi-phase batching: full-budget pass over everything,
     # then failure-compacted retries with bigger island counts (see
     # api.py); phase budgets sized to the measured per-step success
-    # decay (16 steps ⇒ ~86-90 % solved with the Irwin–Hall noise;
-    # phase 1 retries the worst 25 %, phase 2 the worst 4 % — ≥2×
-    # headroom over the measured residual failure rates; tuned by
-    # tools/bench_phasetune.py)
+    # decay (16 steps ⇒ ~90 % solved; phase 1 retries the worst 25 %,
+    # phase 2 the worst 5 % — ≥2× headroom over the measured residual
+    # failure rates; r4 sweep: (1,16),(2,16),(4,48) beats the r3
+    # (1,16),(2,24),(4,64) by ~15 % at identical 100 % success)
     cfg = SolverConfig(mode="bio2_memetic", dtwist=1e-3)
     s = AdaptiveBatchSolver(
         m, [G.PoseGoal(link=tip)], cfg,
-        phases=((1, 16), (2, 24), (4, 64)), fractions=(0.25, 0.05),
+        phases=((1, 16), (2, 16), (4, 48)), fractions=(0.25, 0.05),
     )
     data0 = s.make_data(jnp.asarray(m.neutral_q()))
     data = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), data0)
@@ -80,7 +80,7 @@ def run_bench():
     # steady-state throughput: K batches dispatched back-to-back (the
     # serving pattern), one device sync at the end — amortizes the
     # fixed per-sync tunnel latency that single-shot timing includes
-    K = int(os.environ.get("BENCH_QUEUE", "8"))
+    K = int(os.environ.get("BENCH_QUEUE", "16"))
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -105,7 +105,7 @@ def run_bench():
                 "vs_baseline": round(solves_per_sec / REFERENCE_SOLVES_PER_SEC, 3),
                 "success_rate": round(success, 4),
                 "batch": B,
-                "phases": "1x16,2x24,4x64 adaptive",
+                "phases": "1x16,2x16,4x48 adaptive",
                 "batch_time_ms": round(dt * 1e3, 2),
                 "median_pos_err_m": float(np.median(perr)),
                 "device": str(jax.devices()[0]),

@@ -19,6 +19,7 @@ per-scenario goal parameters live in the data pytree.
 from __future__ import annotations
 
 import math
+import time
 from typing import Any, Dict, NamedTuple, Optional, Sequence
 
 import numpy as np
@@ -200,6 +201,15 @@ class IKSolver:
             model, goals, fixed_joints=fixed_joints,
             active_variables=active_variables, config=config,
         )
+        # §5.5 observability: per-query metrics accumulate when the
+        # reference's `counter` knob is on (opt-in — recording syncs the
+        # success/fitness buffers to host)
+        if config.counter:
+            from .profiling import SolveStats
+
+            self.stats = SolveStats()
+        else:
+            self.stats = None
         self.ctx = SolverContext(self.problem)
         self.solver = make_solver(config.mode, self.ctx, config)
         self.islands = config.islands or self.solver.default_islands
@@ -361,11 +371,14 @@ class IKSolver:
             key = jax.random.PRNGKey(self.config.seed)
         if data is None:
             data = self.make_data(q_seed)
+        t0 = time.perf_counter()
         res = self._solve_jit(key, data)
-        if self.config.counter:
+        if self.stats is not None:
             # reference: `counter` param logs the per-query iteration
             # count (ik_parallel.h:263-266); fixed-budget solves always
             # run the full budget across all islands
+            self.stats.record(res, time.perf_counter() - t0,
+                              self.config.max_steps)
             _log_counter(self.config.max_steps, self.islands)
         return res
 
@@ -398,6 +411,7 @@ class IKSolver:
             key = jax.random.PRNGKey(self.config.seed)
         if data is None:
             data = self.make_data(q_seed)
+        t_start = time.perf_counter()
         if not hasattr(self, "_init_jit"):
             self._init_jit = jax.jit(self._init_islands)
             self._chunk_jit = jax.jit(self._chunk)
@@ -411,9 +425,11 @@ class IKSolver:
             steps += spc
             if bool(best[2]):  # success flag — host-side early exit
                 break
-        if self.config.counter:
+        res = self._result_jit(best, data)
+        if self.stats is not None:
+            self.stats.record(res, time.perf_counter() - t_start, steps)
             _log_counter(steps, self.islands)
-        return self._result_jit(best, data)
+        return res
 
     def solve_batch(self, keys, data) -> IKResult:
         """Solve B queries at once.  Every leaf of ``data`` must carry a
@@ -428,6 +444,13 @@ class IKSolver:
         and acceptance semantics, ~an order of magnitude faster on TPU
         (different PRNG stream, so results differ bitwise from the
         vmapped path)."""
+        t0 = time.perf_counter()
         if self.engine is not None:
-            return self.engine.solve_batch(keys, data)
-        return self._solve_batch_jit(keys, data)
+            res = self.engine.solve_batch(keys, data)
+        else:
+            res = self._solve_batch_jit(keys, data)
+        if self.stats is not None:
+            res.q.block_until_ready()
+            self.stats.record(res, time.perf_counter() - t0,
+                              self.config.max_steps)
+        return res

@@ -23,7 +23,7 @@ from typing import Dict
 
 import jax
 
-__all__ = ["trace", "annotate", "PhaseTimer"]
+__all__ = ["trace", "annotate", "PhaseTimer", "SolveStats"]
 
 
 @contextlib.contextmanager
@@ -39,6 +39,58 @@ def trace(log_dir: str):
 def annotate(name: str):
     """Named scope visible in profiler traces (FNPROFILER analog)."""
     return jax.profiler.TraceAnnotation(name)
+
+
+class SolveStats:
+    """Rolling serving metrics for an :class:`bio_ik_tpu.api.IKSolver`.
+
+    Observability analog of the reference's per-query ``counter`` logging
+    (reference: ik_parallel.h:107, 263-266 logs iteration_count after
+    each query) widened to the batched serving setting: query/success
+    counts, solver steps, and wall time accumulate per call; ``summary``
+    returns a metrics dict suitable for export.  Enabled by
+    ``SolverConfig.counter`` — recording forces a device→host sync of
+    the success/fitness buffers, so it is opt-in.
+    """
+
+    def __init__(self):
+        self.queries = 0
+        self.successes = 0
+        self.batches = 0
+        self.steps = 0
+        self.wall_s = 0.0
+        self.fitness_sum = 0.0
+
+    def record(self, result, wall_s: float, steps: int) -> None:
+        import numpy as np
+
+        ok = np.atleast_1d(np.asarray(result.success))
+        fit = np.atleast_1d(np.asarray(result.fitness))
+        self.queries += int(ok.size)
+        self.successes += int(ok.sum())
+        self.batches += 1
+        self.steps += int(steps)
+        self.wall_s += float(wall_s)
+        self.fitness_sum += float(fit.sum())
+
+    def summary(self) -> Dict[str, float]:
+        q = max(self.queries, 1)
+        return {
+            "queries": self.queries,
+            "batches": self.batches,
+            "success_rate": self.successes / q,
+            "mean_fitness": self.fitness_sum / q,
+            "mean_steps_per_call": self.steps / max(self.batches, 1),
+            "wall_s": self.wall_s,
+            "queries_per_sec": self.queries / max(self.wall_s, 1e-12),
+        }
+
+    def report(self) -> str:
+        s = self.summary()
+        return (f"{s['queries']} queries in {s['batches']} calls: "
+                f"{100 * s['success_rate']:.1f} % success, "
+                f"{s['queries_per_sec']:.0f} q/s, "
+                f"mean fitness {s['mean_fitness']:.3e}")
 
 
 class PhaseTimer:

@@ -243,6 +243,27 @@ def test_bio1_linear_fitness_random_mix(arm, arm_fk, rng):
     assert np.linalg.norm(np.asarray(t2.pos)[0] - gp) < 0.3
 
 
+def test_solve_stats_counter(arm, arm_fk, rng):
+    """config.counter enables the §5.5 observability accumulator
+    (reference: per-query iteration-count logging, ik_parallel.h:263-266)."""
+    cfg = SolverConfig(mode="bio2_memetic", max_steps=4, counter=True)
+    s = IKSolver(arm, [G.PoseGoal(link=TIP)], cfg)
+    assert s.stats is not None
+    gp, gq = reachable_target(arm, arm_fk, rng)
+    data = s.make_data(jnp.asarray(arm.neutral_q()))
+    data["primary"][0]["position"] = jnp.asarray(gp)[None]
+    data["primary"][0]["orientation"] = jnp.asarray(gq)[None]
+    s.solve(jnp.asarray(arm.neutral_q()), key=jax.random.PRNGKey(0), data=data)
+    B = 3
+    datab = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), data)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    s.solve_batch(keys, datab)
+    summ = s.stats.summary()
+    assert summ["queries"] == 1 + B and summ["batches"] == 2
+    assert 0.0 <= summ["success_rate"] <= 1.0 and summ["wall_s"] > 0
+    assert "queries" in s.stats.report() or summ["queries"] == 4
+
+
 def test_adaptive_batch_solver(arm, arm_fk, rng):
     """Failure-compaction multi-phase batching recovers failures from the
     cheap first pass."""
