@@ -159,8 +159,10 @@ class FusedBio2Engine:
         self.ginst = []  # (group_idx, instance, tip_slot, kind)
         for gi, grp in enumerate(p.primary):
             for k in range(grp.count):
-                self.ginst.append((gi, k, int(grp.tip_slots[k]), grp.goal_type))
+                self.ginst.append((gi, k, int(grp.tip_slots[k]), grp.kind))
         K = len(self.ginst)
+        self.inst_kind = [g[3] for g in self.ginst]
+        self.has_lookat = any(k == "lookat" for k in self.inst_kind)
 
         self.sp = SpeciesParams(
             V=self.ctx.nvars, K=K, C=_C, gens=gens,
@@ -194,13 +196,13 @@ class FusedBio2Engine:
                     model, p.tip_links, p.active_vars, inst_tip, self.sp,
                     n_steps=self.spc, block_n=block_n, inkernel_rng=True,
                     gauss_mode=self.config.gauss_mode,
-                    sec_terms=self.sec_terms,
+                    sec_terms=self.sec_terms, inst_kind=self.inst_kind,
                 )
             else:
                 body, self.n_fix = make_megastep_body(
                     model, p.tip_links, p.active_vars, inst_tip, self.sp,
                     n_steps=self.spc, use_pltpu_roll=False,
-                    sec_terms=self.sec_terms,
+                    sec_terms=self.sec_terms, inst_kind=self.inst_kind,
                 )
                 sp = self.sp
                 gm = self.config.gauss_mode
@@ -261,23 +263,27 @@ class FusedBio2Engine:
         p = iksolver.problem
         if iksolver.config.mode not in _MEMETIC_OF_MODE:
             return f"mode {iksolver.config.mode!r} is not a fused bio2 family"
+        # lookat instances and secondary goals run only on the fullstep
+        # kernel tier (the species tier keeps fitness rows pose-shaped)
+        needs_fullstep = p.has_secondary
         if p.has_secondary:
-            # joint-space secondary goals are fused (pre-selection pass
-            # in-kernel) but only on the fullstep tier
-            model = p.model
-            tip_idx = [model.link_index[t] for t in p.tip_links]
-            if not supports_fullstep_chain(model, tip_idx):
-                return ("secondary goals need the fullstep kernel "
-                        "(floating/planar chain)")
             for grp in p.secondary:
                 if grp.kind not in _SEC_TERM_OF:
                     return (f"secondary goal kind {grp.kind!r} not in the "
                             "fused secondary fitness")
         for grp in p.primary:
-            if grp.goal_type not in ("position", "orientation", "pose"):
+            if grp.kind not in ("position", "orientation", "pose", "lookat"):
                 return f"goal kind {grp.kind!r} not in the fused fitness"
+            if grp.kind == "lookat":
+                needs_fullstep = True
         if not p.primary:
             return "no primary goals"
+        if needs_fullstep:
+            model = p.model
+            tip_idx = [model.link_index[t] for t in p.tip_links]
+            if not supports_fullstep_chain(model, tip_idx):
+                return ("lookat/secondary goals need the fullstep kernel "
+                        "(floating/planar chain)")
         if isinstance(iksolver.solver, Bio2Solver) and iksolver.solver.quat_slices:
             return "floating-joint quaternion genes need renormalization"
         if np.dtype(p.dtype) != np.float32:
@@ -331,9 +337,11 @@ class FusedBio2Engine:
     # ------------------------------------------------------------------
     def _goal_rows(self, data, B):
         """Per-goal-instance kernel rows from the data pytree:
-        gpos (B, K·3), gquat (B, K·4), wpos/wrot (B, K)."""
+        gpos (B, K·3), gquat (B, K·4), gaux (B, K·3), wpos/wrot (B, K).
+        For "lookat" instances gpos carries the TARGET point, gaux the
+        link-local axis, wpos the weight (wrot unused)."""
         dt = jnp.float32
-        gpos, gquat, wpos, wrot = [], [], [], []
+        gpos, gquat, gaux, wpos, wrot = [], [], [], [], []
         for gi, k, _slot, kind in self.ginst:
             gd = data["primary"][gi]
             w = gd["weight_sq"][..., k]
@@ -341,6 +349,14 @@ class FusedBio2Engine:
             ident = jnp.broadcast_to(
                 jnp.asarray([0, 0, 0, 1], dt), w.shape + (4,)
             )
+            if kind == "lookat":
+                gpos.append(gd["target"][..., k, :])
+                gquat.append(ident)
+                gaux.append(gd["axis"][..., k, :])
+                wpos.append(w)
+                wrot.append(jnp.zeros_like(w))
+                continue
+            gaux.append(zeros3)
             gpos.append(gd["position"][..., k, :] if kind in ("position", "pose")
                         else zeros3)
             gquat.append(gd["orientation"][..., k, :]
@@ -357,6 +373,7 @@ class FusedBio2Engine:
         return (
             jnp.concatenate([g[..., None, :] for g in gpos], -2).reshape(B, -1),
             jnp.concatenate([g[..., None, :] for g in gquat], -2).reshape(B, -1),
+            jnp.concatenate([g[..., None, :] for g in gaux], -2).reshape(B, -1),
             jnp.stack(wpos, -1),
             jnp.stack(wrot, -1),
         )
@@ -392,7 +409,7 @@ class FusedBio2Engine:
         cmax = jnp.broadcast_to(p.aclip_max[:, None], (V, Mp)).astype(dt)
 
         # goal rows, broadcast over (I, S) then laned
-        gpos_b, gquat_b, wpos_b, wrot_b = self._goal_rows(data, B)
+        gpos_b, gquat_b, gaux_b, wpos_b, wrot_b = self._goal_rows(data, B)
 
         def lane_goal(x):
             r = x.shape[-1]
@@ -521,8 +538,10 @@ class FusedBio2Engine:
                 _scenario_salt(keys)[:, None], (B, I * S)).reshape(M)
             salt_row = jnp.pad(salt_m, (0, Mp - M))[None, :]   # (1, Mp) u32
             state = (genes, grads, sfit_r, sol_r, sol_fit_r, sol_tips_r)
-            consts = (qfix, gpos, gquat, wpos, wrot, span, cmin, cmax,
-                      amin, amax)
+            consts = (qfix, gpos, gquat)
+            if self.has_lookat:
+                consts = consts + (lane_goal(gaux_b),)
+            consts = consts + (wpos, wrot, span, cmin, cmax, amin, amax)
             if self.sec_terms:
                 consts = consts + (lane_goal(self._secondary_rows(data, B)),)
             if self.inkernel_rng:

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from .bio2_step import SpeciesParams, _P
-from .fk_rows import FkRows
+from .fk_rows import FkRows, _qrot as _qrot_comp
 
 __all__ = ["make_fullstep_inner", "make_fullstep_kernel",
            "make_rng_helpers", "gauss_from_u01", "array_draw_gen"]
@@ -174,14 +174,20 @@ def _is_zero(c):
 def make_fullstep_inner(model, tip_links: Sequence[str],
                         active_vars: Sequence[int],
                         inst_tip: Sequence[int], sp: SpeciesParams,
-                        sec_terms: Sequence[str] = ()):
+                        sec_terms: Sequence[str] = (),
+                        inst_kind: Sequence[str] = None):
     """Build the fused step on (rows, N) arrays.
 
-    ``inst_tip[k]`` maps goal instance k → tip index (into ``tip_links``).
-    Signature of the returned ``inner``:
+    ``inst_tip[k]`` maps goal instance k → tip index (into ``tip_links``);
+    ``inst_kind[k]`` its goal kind — "pose" family (position/orientation/
+    pose, folded through the weight rows) or "lookat" (reference:
+    goal_types.h:183-211 — ‖normalize(target−p) − normalize(R·axis)‖²,
+    target in the ``gpos`` rows, axis in the extra ``gaux`` rows, weight
+    in ``wpos``).  Signature of the returned ``inner``:
 
       inner(genes (P·V,N), grads (P·V,N), qfix (F,N) or None,
-            gpos (K·3,N), gquat (K·4,N), wpos (K,N), wrot (K,N),
+            gpos (K·3,N), gquat (K·4,N), [gaux (K·3,N),]
+            wpos (K,N), wrot (K,N),
             span/cmin/cmax (V,N), [sec (8·V,N),] draw_gen)
         → genes' (P·V,N), grads' (P·V,N), tips_exact (T·7,N), fit (1,N)
 
@@ -207,12 +213,19 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
     C2 = C + _P
     F = len(fkr.fixed_vars)
     secondary = bool(sec_terms)
+    if inst_kind is None:
+        inst_kind = ["pose"] * K
+    inst_kind = list(inst_kind)
+    has_lookat = any(k == "lookat" for k in inst_kind)
 
     def row(a, i):
         return a[i : i + 1, :]
 
-    def inner(genes, grads, qfix, gpos, gquat, wpos, wrot,
-              span, cmin, cmax, *rest):
+    def inner(genes, grads, qfix, gpos, gquat, *rest):
+        rest = list(rest)
+        gaux = rest.pop(0) if has_lookat else None
+        wpos, wrot, span, cmin, cmax = rest[:5]
+        rest = rest[5:]
         if secondary:
             sec, draw_gen = rest
             sec_of, sec_grad = make_sec_eval(sec, V, tuple(sec_terms))
@@ -256,26 +269,76 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
                     ph.append(acc)
             return ph
 
-        def fitness_of(ph):
+        def eval_goals(ph, want_grad=False):
+            """Per-instance goal errors (sum → fit); with ``want_grad``
+            also the per-phenotype-component gradient rows ``gvec`` with
+            d(fit)/d(ph[k·7+d]) = gvec[k·7+d] (floats 0.0 where the kind
+            has no dependence — skipped at trace time)."""
             fit = None
-            sgns = []
+            gvec = [0.0] * (K * 7) if want_grad else None
             for k in range(K):
-                perr = 0.0
-                for d in range(3):
-                    e = ph[k * 7 + d] - row(gpos, k * 3 + d)
-                    perr = perr + e * e
-                dm = 0.0
-                dp = 0.0
-                for d in range(4):
-                    q = ph[k * 7 + 3 + d]
-                    g = row(gquat, k * 4 + d)
-                    dm = dm + (q - g) * (q - g)
-                    dp = dp + (q + g) * (q + g)
-                qerr = jnp.minimum(dm, dp)
-                sgns.append(jnp.where(dm <= dp, 1.0, -1.0).astype(f32))
-                term = row(wpos, k) * perr + row(wrot, k) * qerr
+                if inst_kind[k] == "lookat":
+                    # ‖normalize(target−p) − normalize(R(q)·axis)‖²
+                    # (reference: goal_types.h:183-211); R·axis via the
+                    # two-cross form, then renormalized — same math as
+                    # the XLA evaluator (problem.py _eval_lookat)
+                    q = tuple(ph[k * 7 + 3 + d] for d in range(4))
+                    ax = tuple(row(gaux, k * 3 + d) for d in range(3))
+                    u = _qrot_comp(q, ax)
+                    uinv = jax.lax.rsqrt(
+                        u[0] * u[0] + u[1] * u[1] + u[2] * u[2] + 1e-12)
+                    v = tuple(c * uinv for c in u)
+                    dx = tuple(row(gpos, k * 3 + d) - ph[k * 7 + d]
+                               for d in range(3))
+                    dinv = jax.lax.rsqrt(
+                        dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
+                        + 1e-12)
+                    n = tuple(c * dinv for c in dx)
+                    err = 0.0
+                    for d in range(3):
+                        e = n[d] - v[d]
+                        err = err + e * e
+                    term = row(wpos, k) * err
+                    if want_grad:
+                        # ∂/∂p through n = (target−p)/|target−p|:
+                        # gvec_d = w·(−2/|dx|)·((n−v)_d − n_d·(n·(n−v)));
+                        # quaternion columns omitted — the memetic line
+                        # search's accept test guards monotonicity, and
+                        # the reference's own dp=1e-7 FD gradient is
+                        # noise-dominated there (ik_evolution_2.cpp:459)
+                        s = 0.0
+                        for d in range(3):
+                            s = s + n[d] * (n[d] - v[d])
+                        for d in range(3):
+                            gvec[k * 7 + d] = (
+                                row(wpos, k) * (-2.0 * dinv)
+                                * ((n[d] - v[d]) - n[d] * s)
+                            )
+                else:
+                    perr = 0.0
+                    for d in range(3):
+                        e = ph[k * 7 + d] - row(gpos, k * 3 + d)
+                        perr = perr + e * e
+                    dm = 0.0
+                    dp = 0.0
+                    for d in range(4):
+                        q = ph[k * 7 + 3 + d]
+                        g = row(gquat, k * 4 + d)
+                        dm = dm + (q - g) * (q - g)
+                        dp = dp + (q + g) * (q + g)
+                    qerr = jnp.minimum(dm, dp)
+                    term = row(wpos, k) * perr + row(wrot, k) * qerr
+                    if want_grad:
+                        sgn = jnp.where(dm <= dp, 1.0, -1.0).astype(f32)
+                        for d in range(3):
+                            gvec[k * 7 + d] = 2.0 * row(wpos, k) * (
+                                ph[k * 7 + d] - row(gpos, k * 3 + d))
+                        for d in range(4):
+                            gvec[k * 7 + 3 + d] = 2.0 * row(wrot, k) * (
+                                ph[k * 7 + 3 + d]
+                                - sgn * row(gquat, k * 4 + d))
                 fit = term if fit is None else fit + term
-            return fit, sgns
+            return fit, gvec
 
         child_global = jax.lax.broadcasted_iota(jnp.int32, (C, N), 0) + _P
         fmix = jnp.where(child_global % 2 == 0, 0.2, 0.0).astype(f32)
@@ -303,7 +366,7 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
                 jnp.concatenate([p0r[v], p1r[v], cr[v]], axis=0) for v in range(V)
             ]
             dq = [pool_g[v] - x0[v] for v in range(V)]
-            fit, _ = fitness_of(phen_of(dq))
+            fit, _ = eval_goals(phen_of(dq))
 
             if secondary:
                 # pre-selection: rank children by secondary fitness, keep
@@ -353,12 +416,15 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
             done = jnp.zeros((1, N), bool)
             for _ in range(sp.mem_iters):
                 ph = phen_of([x[v] - x0[v] for v in range(V)])
-                f2p, sgns = fitness_of(ph)
+                f2p, gvec = eval_goals(ph, want_grad=True)
                 # line search runs on the COMBINED fitness when secondary
                 # goals exist; acceptance stays primary-vs-primary
                 # (reference :459-537: fa = f2p + secondary, f4p < f2p)
                 f2 = f2p + sec_of(x) if secondary else f2p
 
+                # chain rule through the linearization: grad_v =
+                # Σ_{k,d} (∂tip_kd/∂x_v)·(∂fit/∂tip_kd) — the gvec rows
+                # come from eval_goals, the delta components from dts
                 grad = []
                 for v in range(V):
                     gv = 0.0
@@ -367,21 +433,14 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
                         dv = dts[v][t]
                         if dv is None:
                             continue
-                        acc_p = 0.0
-                        for d in range(3):
+                        for d in range(7):
                             c = _comp(dv, d)
                             if _is_zero(c):
                                 continue
-                            acc_p = acc_p + c * (ph[k * 7 + d] - row(gpos, k * 3 + d))
-                        acc_q = 0.0
-                        for d in range(4):
-                            c = _comp(dv, 3 + d)
-                            if _is_zero(c):
+                            gk = gvec[k * 7 + d]
+                            if _is_zero(gk):
                                 continue
-                            e = ph[k * 7 + 3 + d] - sgns[k] * row(gquat, k * 4 + d)
-                            acc_q = acc_q + c * e
-                        gv = gv + 2.0 * (row(wpos, k) * acc_p
-                                         + row(wrot, k) * acc_q)
+                            gv = gv + c * gk
                     if secondary:
                         gv = gv + sec_grad(x, v)
                     grad.append(gv)
@@ -399,8 +458,8 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
 
                 xm = [x[v] - gdir[v] for v in range(V)]
                 xp = [x[v] + gdir[v] for v in range(V)]
-                f1, _ = fitness_of(phen_of([xm[v] - x0[v] for v in range(V)]))
-                f3, _ = fitness_of(phen_of([xp[v] - x0[v] for v in range(V)]))
+                f1, _ = eval_goals(phen_of([xm[v] - x0[v] for v in range(V)]))
+                f3, _ = eval_goals(phen_of([xp[v] - x0[v] for v in range(V)]))
                 if secondary:
                     f1 = f1 + sec_of(xm)
                     f3 = f3 + sec_of(xp)
@@ -424,7 +483,7 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
                         for v in range(V)
                     ]
 
-                f4, _ = fitness_of(phen_of([cand[v] - x0[v] for v in range(V)]))
+                f4, _ = eval_goals(phen_of([cand[v] - x0[v] for v in range(V)]))
                 accept = (f4 < f2p) & ~done
                 x = [jnp.where(accept, cand[v], x[v]) for v in range(V)]
                 done = done | ~accept
@@ -437,7 +496,7 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
         for k in range(K):
             for d in range(7):
                 ph_exact.append(_comp(tips2[inst_tip[k]], d))
-        fit_exact, _ = fitness_of(ph_exact)
+        fit_exact, _ = eval_goals(ph_exact)
 
         tip_rows = []
         for t in range(T):

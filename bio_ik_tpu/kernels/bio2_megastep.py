@@ -52,7 +52,7 @@ _WIPEOUT_P = 0.1  # reference: ik_evolution_2.cpp:632
 
 def make_megastep_body(model, tip_links, active_vars, inst_tip,
                        sp: SpeciesParams, n_steps: int, *, use_pltpu_roll,
-                       sec_terms=()):
+                       sec_terms=(), inst_kind=None):
     """Build the chunk body over ``(rows, N)`` arrays.
 
     Returns ``(body, F)``; ``body(state, consts, draw)`` advances the
@@ -61,6 +61,7 @@ def make_megastep_body(model, tip_links, active_vars, inst_tip,
       state  = (genes (2V,N), grads (2V,N), sfit (1,N),
                 sol (V,N), sol_fit (1,N), sol_tips (T·7,N))
       consts = (qfix (max(F,1),N), gpos (K·3,N), gquat (K·4,N),
+                [gaux (K·3,N) when a lookat instance exists,]
                 wpos (K,N), wrot (K,N), span/cmin/cmax/amin/amax (V,N)
                 [, sec (8·V,N) when sec_terms])
       draw(i) → (draw_gen, wipe_u (1,N), wipe_g (V,N))   per-step
@@ -75,8 +76,10 @@ def make_megastep_body(model, tip_links, active_vars, inst_tip,
     secondary goals (see :func:`bio2_fullstep.make_fullstep_inner`).
     """
     inner, F = make_fullstep_inner(model, tip_links, active_vars, inst_tip,
-                                   sp, sec_terms=sec_terms)
+                                   sp, sec_terms=sec_terms,
+                                   inst_kind=inst_kind)
     secondary = bool(sec_terms)
+    has_lookat = bool(inst_kind) and any(k == "lookat" for k in inst_kind)
     V = sp.V
     T = len(tip_links)
 
@@ -91,14 +94,19 @@ def make_megastep_body(model, tip_links, active_vars, inst_tip,
 
     def body(state, consts, draw):
         genes0, grads0, sfit0, sol0, sol_fit0, sol_tips0 = state
-        if secondary:
-            (qfix, gpos, gquat, wpos, wrot, span, cmin, cmax, amin, amax,
-             sec) = consts
-            sec_args = (sec,)
-        else:
-            qfix, gpos, gquat, wpos, wrot, span, cmin, cmax, amin, amax = \
-                consts
-            sec_args = ()
+        # consts: qfix, gpos, gquat, [gaux], wpos, wrot, span, cmin,
+        # cmax, amin, amax, [sec] — optional entries per static flags
+        consts = list(consts)
+        qfix, gpos, gquat = consts[:3]
+        i = 3
+        head = [qfix, gpos, gquat]
+        if has_lookat:
+            head.append(consts[i])
+            i += 1
+        wpos, wrot, span, cmin, cmax, amin, amax = consts[i : i + 7]
+        i += 7
+        sec_args = tuple(consts[i:])  # (sec,) when secondary else ()
+        head += [wpos, wrot, span, cmin, cmax]
         f32 = genes0.dtype
         N = genes0.shape[-1]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
@@ -113,8 +121,7 @@ def make_megastep_body(model, tip_links, active_vars, inst_tip,
             draw_gen, wipe_u, wipe_g = draw(i)
 
             genes, grads, tips, fit = inner(
-                genes, grads, qfix, gpos, gquat, wpos, wrot,
-                span, cmin, cmax, *sec_args, draw_gen,
+                genes, grads, *head, *sec_args, draw_gen,
             )
 
             # per-lane incumbent update (reference :640-644, per-lane
@@ -159,7 +166,8 @@ def make_megastep_kernel(model, tip_links, active_vars, inst_tip,
                          sp: SpeciesParams, n_steps: int,
                          block_n: int = 256, interpret: bool = False,
                          inkernel_rng: bool = True,
-                         gauss_mode: str = "clt4", sec_terms=()):
+                         gauss_mode: str = "clt4", sec_terms=(),
+                         inst_kind=None):
     """Pallas wrapper of :func:`make_megastep_body` blocked over lanes.
 
     With ``inkernel_rng`` (compiled TPU runs) all per-step randomness —
@@ -188,14 +196,17 @@ def make_megastep_kernel(model, tip_links, active_vars, inst_tip,
     body, F = make_megastep_body(
         model, tip_links, active_vars, inst_tip, sp, n_steps,
         use_pltpu_roll=not interpret, sec_terms=sec_terms,
+        inst_kind=inst_kind,
     )
     secondary = bool(sec_terms)
+    has_lookat = bool(inst_kind) and any(k == "lookat" for k in inst_kind)
     V, K, C = sp.V, sp.K, sp.C
     T = len(tip_links)
     W = block_n
     Fq = max(F, 1)
     nst = n_steps
-    NCONST = 10 + (1 if secondary else 0)   # + packed sec rows
+    # + lookat axis rows + packed sec rows
+    NCONST = 10 + (1 if has_lookat else 0) + (1 if secondary else 0)
     NRNG = 4 + (1 if secondary else 0)      # + keep uniforms (host noise)
 
     if inkernel_rng:
@@ -254,8 +265,11 @@ def make_megastep_kernel(model, tip_links, active_vars, inst_tip,
 
     state_rows = [_P * V, _P * V, 1, V, 1, T * 7]
     state_specs = [spec2(r) for r in state_rows]
-    const_specs = [spec2(Fq), spec2(K * 3), spec2(K * 4), spec2(K), spec2(K),
-                   spec2(V), spec2(V), spec2(V), spec2(V), spec2(V)]
+    const_specs = [spec2(Fq), spec2(K * 3), spec2(K * 4)]
+    if has_lookat:
+        const_specs.append(spec2(K * 3))     # lookat axis rows
+    const_specs += [spec2(K), spec2(K),
+                    spec2(V), spec2(V), spec2(V), spec2(V), spec2(V)]
     if secondary:
         const_specs.append(spec2(8 * V))     # packed sec rows (SEC_ROWS)
     if inkernel_rng:

@@ -96,9 +96,13 @@ def test_engine_supports_classification(arm):
     s = IKSolver(arm, [G.PoseGoal(link=TIP)],
                  SolverConfig(mode="bio2_memetic", fused="off"))
     assert FusedBio2Engine.supports(s) is None
+    # lookat primaries ARE fused (fullstep tier); line goals are not
     s2 = IKSolver(arm, [G.PoseGoal(link=TIP), G.LookAtGoal(link=TIP)],
                   SolverConfig(mode="bio2_memetic", fused="off"))
-    assert FusedBio2Engine.supports(s2) is not None
+    assert FusedBio2Engine.supports(s2) is None
+    s2b = IKSolver(arm, [G.PoseGoal(link=TIP), G.LineGoal(link=TIP)],
+                   SolverConfig(mode="bio2_memetic", fused="off"))
+    assert FusedBio2Engine.supports(s2b) is not None
     s3 = IKSolver(arm, [G.PoseGoal(link=TIP)],
                   SolverConfig(mode="gd", fused="off"))
     assert FusedBio2Engine.supports(s3) is not None
@@ -401,6 +405,115 @@ def test_megastep_secondary_matches_pallas_interpret(arm):
     out2 = kfn(*state, *consts, noise, rates, wu, wg, keep)
     for a, b2 in zip(out1, out2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+
+
+def test_megastep_lookat_matches_pallas_interpret(arm):
+    """Lookat-instance megastep (normalized direction error + partial
+    gradient) — Pallas interpret vs plain-jnp body, bitwise."""
+    from bio_ik_tpu.kernels.bio2_fullstep import array_draw_gen
+    from bio_ik_tpu.kernels.bio2_megastep import (
+        make_megastep_body,
+        make_megastep_kernel,
+    )
+
+    V = arm.nvars
+    sp = SpeciesParams(V=V, K=2, C=4, gens=2, mem_iters=2, memetic="q")
+    inst_kind = ["pose", "lookat"]
+    nst = 2
+    body, F = make_megastep_body(
+        arm, [TIP], list(range(V)), [0, 0], sp, nst, use_pltpu_roll=False,
+        inst_kind=inst_kind)
+    kfn, F2 = make_megastep_kernel(
+        arm, [TIP], list(range(V)), [0, 0], sp, nst,
+        block_n=128, interpret=True, inkernel_rng=False,
+        inst_kind=inst_kind)
+    assert F == F2 == 0
+    N = 256
+    rng = np.random.default_rng(13)
+
+    def r(*shape, scale=1.0):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+    b = arm._np_bounds
+    qmid = ((b["min"] + b["max"]) / 2).astype(np.float32)
+    genes = jnp.asarray(np.tile(qmid, 2)[:, None] + rng.normal(
+        size=(2 * V, N)).astype(np.float32) * 0.1)
+    state = (
+        genes, r(2 * V, N, scale=0.01),
+        jnp.full((1, N), np.inf, jnp.float32),
+        genes[:V],
+        jnp.full((1, N), 1e30, jnp.float32),
+        jnp.zeros((7, N), jnp.float32),
+    )
+    cmin = jnp.asarray(np.tile(b["clip_min"].astype(np.float32)[:, None],
+                               (1, N)))
+    cmax = jnp.asarray(np.tile(b["clip_max"].astype(np.float32)[:, None],
+                               (1, N)))
+    axis = np.tile(np.array([1.0, 0, 0, 0, 0, 1.0], np.float32)[:, None],
+                   (1, N))
+    consts = (
+        jnp.zeros((1, N), jnp.float32),
+        r(2 * 3, N), r(2 * 4, N), jnp.asarray(axis),   # gpos, gquat, gaux
+        jnp.abs(r(2, N)), jnp.abs(r(2, N)),
+        jnp.abs(r(V, N)) + 1.0, cmin, cmax, cmin, cmax,
+    )
+    noise = r(nst * sp.gens, V, sp.C, N)
+    rates = jnp.abs(r(nst * sp.gens, sp.C, N, scale=1e-4))
+    wu = jnp.asarray(rng.uniform(size=(nst, 1, N)).astype(np.float32))
+    wg = jnp.asarray(rng.uniform(size=(nst, V, N)).astype(np.float32))
+
+    def draw(i):
+        g0 = i * sp.gens
+        return (
+            array_draw_gen(
+                jax.lax.dynamic_slice_in_dim(noise, g0, sp.gens, 0),
+                jax.lax.dynamic_slice_in_dim(rates, g0, sp.gens, 0),
+            ),
+            jax.lax.dynamic_slice_in_dim(wu, i, 1, 0)[0],
+            jax.lax.dynamic_slice_in_dim(wg, i, 1, 0)[0],
+        )
+
+    out1 = jax.jit(lambda st, co: body(st, co, draw))(state, consts)
+    out2 = kfn(*state, *consts, noise, rates, wu, wg)
+    for a, b2 in zip(out1, out2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+
+
+def test_engine_solves_lookat(arm, arm_fk, rng):
+    """A pose + lookat problem keeps the fused path and converges to the
+    same quality as the vmapped evaluator's math (both use the
+    normalized-direction error, goal_types.h:183-211)."""
+    B = 4
+    cfg = SolverConfig(mode="bio2_memetic", max_steps=16, dpos=1e-2,
+                       dtwist=float("inf"))
+    s = IKSolver(
+        arm,
+        [G.PositionGoal(link=TIP),
+         G.LookAtGoal(link=TIP, axis=(1.0, 0.0, 0.0),
+                      target=(1.0, 0.0, 0.5), weight=0.5)],
+        cfg,
+    )
+    assert s.engine is not None and s.engine.has_lookat
+    qg = random_q(arm, rng, B)
+    tg = arm_fk(jnp.asarray(qg))
+    data0 = s.make_data(jnp.asarray(arm.neutral_q()))
+    data = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), data0)
+    data["primary"][0]["position"] = tg.pos
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    res = s.solve_batch(keys, data)
+    t2 = arm_fk(res.q)
+    errs = np.linalg.norm(
+        np.asarray(t2.pos)[:, 0] - np.asarray(tg.pos)[:, 0], axis=-1)
+    assert np.median(errs) < 2e-2, errs
+    # the gripper x-axis must point at the lookat target
+    from scipy.spatial.transform import Rotation as R
+
+    rot = R.from_quat(np.asarray(t2.quat)[:, 0])
+    v = rot.apply(np.array([1.0, 0, 0]))
+    d = np.array([1.0, 0, 0.5]) - np.asarray(t2.pos)[:, 0]
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ang = np.degrees(np.arccos(np.clip(np.sum(v * d, axis=-1), -1, 1)))
+    assert np.median(ang) < 10.0, ang
 
 
 def test_engine_solves_with_secondary_goals(arm, arm_fk, rng):
