@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from .kernels.bio2_step import SpeciesParams, make_species_inner, make_species_kernel
+from .kernels.bio2_fullstep import AUX_KINDS
 from .kernels.bio2_megastep import make_megastep_body, make_megastep_kernel
 from .kernels.fk_rows import supports_fullstep_chain
 from .math.frame import Frame
@@ -162,7 +163,7 @@ class FusedBio2Engine:
                 self.ginst.append((gi, k, int(grp.tip_slots[k]), grp.kind))
         K = len(self.ginst)
         self.inst_kind = [g[3] for g in self.ginst]
-        self.has_lookat = any(k == "lookat" for k in self.inst_kind)
+        self.has_aux = any(k in AUX_KINDS for k in self.inst_kind)
 
         self.sp = SpeciesParams(
             V=self.ctx.nvars, K=K, C=_C, gens=gens,
@@ -263,8 +264,12 @@ class FusedBio2Engine:
         p = iksolver.problem
         if iksolver.config.mode not in _MEMETIC_OF_MODE:
             return f"mode {iksolver.config.mode!r} is not a fused bio2 family"
-        # lookat instances and secondary goals run only on the fullstep
-        # kernel tier (the species tier keeps fitness rows pose-shaped)
+        # non-pose goal kinds and secondary goals run only on the
+        # fullstep kernel tier (the species tier keeps pose-shaped rows)
+        from .kernels.bio2_fullstep import AUX_KINDS as _AUX
+
+        fused_kinds = ("position", "orientation", "pose",
+                       "max_distance", "min_distance") + _AUX
         needs_fullstep = p.has_secondary
         if p.has_secondary:
             for grp in p.secondary:
@@ -272,9 +277,9 @@ class FusedBio2Engine:
                     return (f"secondary goal kind {grp.kind!r} not in the "
                             "fused secondary fitness")
         for grp in p.primary:
-            if grp.kind not in ("position", "orientation", "pose", "lookat"):
+            if grp.kind not in fused_kinds:
                 return f"goal kind {grp.kind!r} not in the fused fitness"
-            if grp.kind == "lookat":
+            if grp.kind not in ("position", "orientation", "pose"):
                 needs_fullstep = True
         if not p.primary:
             return "no primary goals"
@@ -282,8 +287,8 @@ class FusedBio2Engine:
             model = p.model
             tip_idx = [model.link_index[t] for t in p.tip_links]
             if not supports_fullstep_chain(model, tip_idx):
-                return ("lookat/secondary goals need the fullstep kernel "
-                        "(floating/planar chain)")
+                return ("non-pose/secondary goals need the fullstep "
+                        "kernel (floating/planar chain)")
         if isinstance(iksolver.solver, Bio2Solver) and iksolver.solver.quat_slices:
             return "floating-joint quaternion genes need renormalization"
         if np.dtype(p.dtype) != np.float32:
@@ -338,8 +343,13 @@ class FusedBio2Engine:
     def _goal_rows(self, data, B):
         """Per-goal-instance kernel rows from the data pytree:
         gpos (B, K·3), gquat (B, K·4), gaux (B, K·3), wpos/wrot (B, K).
-        For "lookat" instances gpos carries the TARGET point, gaux the
-        link-local axis, wpos the weight (wrot unused)."""
+        Row reuse per kind (see bio2_fullstep.eval_goals): lookat/
+        max/min_distance put the TARGET in gpos; line/plane their
+        anchor point; direction/side the world direction; gaux carries
+        the link-local axis (lookat/direction/side) or the line
+        direction / plane normal; wrot doubles as the distance scalar
+        for max/min_distance.  wpos always carries the weight for
+        non-pose kinds."""
         dt = jnp.float32
         gpos, gquat, gaux, wpos, wrot = [], [], [], [], []
         for gi, k, _slot, kind in self.ginst:
@@ -351,6 +361,28 @@ class FusedBio2Engine:
             )
             if kind == "lookat":
                 gpos.append(gd["target"][..., k, :])
+                gquat.append(ident)
+                gaux.append(gd["axis"][..., k, :])
+                wpos.append(w)
+                wrot.append(jnp.zeros_like(w))
+                continue
+            if kind in ("line", "plane"):
+                gpos.append(gd["position"][..., k, :])
+                gquat.append(ident)
+                gaux.append(gd["direction" if kind == "line" else "normal"]
+                            [..., k, :])
+                wpos.append(w)
+                wrot.append(jnp.zeros_like(w))
+                continue
+            if kind in ("max_distance", "min_distance"):
+                gpos.append(gd["target"][..., k, :])
+                gquat.append(ident)
+                gaux.append(zeros3)
+                wpos.append(w)
+                wrot.append(gd["distance"][..., k])   # scalar param row
+                continue
+            if kind in ("direction", "side"):
+                gpos.append(gd["direction"][..., k, :])
                 gquat.append(ident)
                 gaux.append(gd["axis"][..., k, :])
                 wpos.append(w)
@@ -539,7 +571,7 @@ class FusedBio2Engine:
             salt_row = jnp.pad(salt_m, (0, Mp - M))[None, :]   # (1, Mp) u32
             state = (genes, grads, sfit_r, sol_r, sol_fit_r, sol_tips_r)
             consts = (qfix, gpos, gquat)
-            if self.has_lookat:
+            if self.has_aux:
                 consts = consts + (lane_goal(gaux_b),)
             consts = consts + (wpos, wrot, span, cmin, cmax, amin, amax)
             if self.sec_terms:

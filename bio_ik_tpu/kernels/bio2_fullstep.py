@@ -32,7 +32,13 @@ from .bio2_step import SpeciesParams, _P
 from .fk_rows import FkRows, _qrot as _qrot_comp
 
 __all__ = ["make_fullstep_inner", "make_fullstep_kernel",
-           "make_rng_helpers", "gauss_from_u01", "array_draw_gen"]
+           "make_rng_helpers", "gauss_from_u01", "array_draw_gen",
+           "AUX_KINDS"]
+
+# goal kinds whose kernel rows need the extra gaux (K·3) const: the
+# link-local axis (lookat/direction/side) or the line direction / plane
+# normal; every kind here also requires the fullstep tier
+AUX_KINDS = ("lookat", "line", "plane", "direction", "side")
 
 GAUSS_MODES = ("clt4", "box_muller")
 
@@ -216,14 +222,14 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
     if inst_kind is None:
         inst_kind = ["pose"] * K
     inst_kind = list(inst_kind)
-    has_lookat = any(k == "lookat" for k in inst_kind)
+    has_aux = any(k in AUX_KINDS for k in inst_kind)
 
     def row(a, i):
         return a[i : i + 1, :]
 
     def inner(genes, grads, qfix, gpos, gquat, *rest):
         rest = list(rest)
-        gaux = rest.pop(0) if has_lookat else None
+        gaux = rest.pop(0) if has_aux else None
         wpos, wrot, span, cmin, cmax = rest[:5]
         rest = rest[5:]
         if secondary:
@@ -314,6 +320,69 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
                                 row(wpos, k) * (-2.0 * dinv)
                                 * ((n[d] - v[d]) - n[d] * s)
                             )
+                elif inst_kind[k] == "line":
+                    # ‖(p−o) − d·((p−o)·d)‖² (problem.py _eval_line);
+                    # o in gpos, unit d in gaux
+                    dx = tuple(ph[k * 7 + d] - row(gpos, k * 3 + d)
+                               for d in range(3))
+                    ax = tuple(row(gaux, k * 3 + d) for d in range(3))
+                    along = dx[0] * ax[0] + dx[1] * ax[1] + dx[2] * ax[2]
+                    perp = tuple(dx[d] - ax[d] * along for d in range(3))
+                    err = perp[0] * perp[0] + perp[1] * perp[1] \
+                        + perp[2] * perp[2]
+                    term = row(wpos, k) * err
+                    if want_grad:
+                        for d in range(3):
+                            gvec[k * 7 + d] = 2.0 * row(wpos, k) * perp[d]
+                elif inst_kind[k] == "plane":
+                    # ((p−o)·n)² (problem.py _eval_plane); o in gpos,
+                    # unit n in gaux
+                    ax = tuple(row(gaux, k * 3 + d) for d in range(3))
+                    sd = 0.0
+                    for d in range(3):
+                        sd = sd + (ph[k * 7 + d] - row(gpos, k * 3 + d)) \
+                            * ax[d]
+                    term = row(wpos, k) * (sd * sd)
+                    if want_grad:
+                        for d in range(3):
+                            gvec[k * 7 + d] = 2.0 * row(wpos, k) * sd * ax[d]
+                elif inst_kind[k] in ("max_distance", "min_distance"):
+                    # relu(±(|p−t| − dist))² (problem.py _eval_maxd/mind);
+                    # t in gpos, dist scalar reuses the wrot row
+                    dx = tuple(ph[k * 7 + d] - row(gpos, k * 3 + d)
+                               for d in range(3))
+                    nrm2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
+                    rinv = jax.lax.rsqrt(nrm2 + 1e-12)
+                    nrm = nrm2 * rinv
+                    sgn = 1.0 if inst_kind[k] == "max_distance" else -1.0
+                    dd = jnp.maximum(sgn * (nrm - row(wrot, k)), 0.0)
+                    term = row(wpos, k) * (dd * dd)
+                    if want_grad:
+                        c = 2.0 * sgn * row(wpos, k) * dd * rinv
+                        for d in range(3):
+                            gvec[k * 7 + d] = c * dx[d]
+                elif inst_kind[k] in ("direction", "side"):
+                    # direction: ‖R(q)·axis − dir‖²; side: relu(R·axis ·
+                    # dir)² (problem.py _eval_direction/_eval_side) —
+                    # axis in gaux, dir in gpos; raw (unnormalized)
+                    # rotation exactly as the XLA evaluator applies to
+                    # linearizer phenotypes; quaternion gradient omitted
+                    # (same policy as lookat)
+                    q = tuple(ph[k * 7 + 3 + d] for d in range(4))
+                    ax = tuple(row(gaux, k * 3 + d) for d in range(3))
+                    v = _qrot_comp(q, ax)
+                    if inst_kind[k] == "direction":
+                        err = 0.0
+                        for d in range(3):
+                            e = v[d] - row(gpos, k * 3 + d)
+                            err = err + e * e
+                    else:
+                        f = 0.0
+                        for d in range(3):
+                            f = f + v[d] * row(gpos, k * 3 + d)
+                        fr = jnp.maximum(f, 0.0)
+                        err = fr * fr
+                    term = row(wpos, k) * err
                 else:
                     perr = 0.0
                     for d in range(3):

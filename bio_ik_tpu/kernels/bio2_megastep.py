@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 
 from .bio2_step import SpeciesParams, _P
 from .bio2_fullstep import (
+    AUX_KINDS,
     array_draw_gen,
     gauss_from_u01,
     make_fullstep_inner,
@@ -61,7 +62,7 @@ def make_megastep_body(model, tip_links, active_vars, inst_tip,
       state  = (genes (2V,N), grads (2V,N), sfit (1,N),
                 sol (V,N), sol_fit (1,N), sol_tips (T·7,N))
       consts = (qfix (max(F,1),N), gpos (K·3,N), gquat (K·4,N),
-                [gaux (K·3,N) when a lookat instance exists,]
+                [gaux (K·3,N) when an AUX_KINDS instance exists,]
                 wpos (K,N), wrot (K,N), span/cmin/cmax/amin/amax (V,N)
                 [, sec (8·V,N) when sec_terms])
       draw(i) → (draw_gen, wipe_u (1,N), wipe_g (V,N))   per-step
@@ -79,7 +80,7 @@ def make_megastep_body(model, tip_links, active_vars, inst_tip,
                                    sp, sec_terms=sec_terms,
                                    inst_kind=inst_kind)
     secondary = bool(sec_terms)
-    has_lookat = bool(inst_kind) and any(k == "lookat" for k in inst_kind)
+    has_aux = bool(inst_kind) and any(k in AUX_KINDS for k in inst_kind)
     V = sp.V
     T = len(tip_links)
 
@@ -100,7 +101,7 @@ def make_megastep_body(model, tip_links, active_vars, inst_tip,
         qfix, gpos, gquat = consts[:3]
         i = 3
         head = [qfix, gpos, gquat]
-        if has_lookat:
+        if has_aux:
             head.append(consts[i])
             i += 1
         wpos, wrot, span, cmin, cmax, amin, amax = consts[i : i + 7]
@@ -199,14 +200,14 @@ def make_megastep_kernel(model, tip_links, active_vars, inst_tip,
         inst_kind=inst_kind,
     )
     secondary = bool(sec_terms)
-    has_lookat = bool(inst_kind) and any(k == "lookat" for k in inst_kind)
+    has_aux = bool(inst_kind) and any(k in AUX_KINDS for k in inst_kind)
     V, K, C = sp.V, sp.K, sp.C
     T = len(tip_links)
     W = block_n
     Fq = max(F, 1)
     nst = n_steps
     # + lookat axis rows + packed sec rows
-    NCONST = 10 + (1 if has_lookat else 0) + (1 if secondary else 0)
+    NCONST = 10 + (1 if has_aux else 0) + (1 if secondary else 0)
     NRNG = 4 + (1 if secondary else 0)      # + keep uniforms (host noise)
 
     if inkernel_rng:
@@ -266,8 +267,8 @@ def make_megastep_kernel(model, tip_links, active_vars, inst_tip,
     state_rows = [_P * V, _P * V, 1, V, 1, T * 7]
     state_specs = [spec2(r) for r in state_rows]
     const_specs = [spec2(Fq), spec2(K * 3), spec2(K * 4)]
-    if has_lookat:
-        const_specs.append(spec2(K * 3))     # lookat axis rows
+    if has_aux:
+        const_specs.append(spec2(K * 3))     # aux rows (axis/normal/dir)
     const_specs += [spec2(K), spec2(K),
                     spec2(V), spec2(V), spec2(V), spec2(V), spec2(V)]
     if secondary:

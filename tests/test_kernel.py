@@ -96,11 +96,16 @@ def test_engine_supports_classification(arm):
     s = IKSolver(arm, [G.PoseGoal(link=TIP)],
                  SolverConfig(mode="bio2_memetic", fused="off"))
     assert FusedBio2Engine.supports(s) is None
-    # lookat primaries ARE fused (fullstep tier); line goals are not
+    # lookat/line/plane/distance/direction/side primaries ARE fused
+    # (fullstep tier); cone goals are not
     s2 = IKSolver(arm, [G.PoseGoal(link=TIP), G.LookAtGoal(link=TIP)],
                   SolverConfig(mode="bio2_memetic", fused="off"))
     assert FusedBio2Engine.supports(s2) is None
-    s2b = IKSolver(arm, [G.PoseGoal(link=TIP), G.LineGoal(link=TIP)],
+    s2a = IKSolver(arm, [G.PoseGoal(link=TIP), G.LineGoal(link=TIP),
+                         G.MaxDistanceGoal(link=TIP, distance=1.0)],
+                   SolverConfig(mode="bio2_memetic", fused="off"))
+    assert FusedBio2Engine.supports(s2a) is None
+    s2b = IKSolver(arm, [G.PoseGoal(link=TIP), G.ConeGoal(link=TIP)],
                    SolverConfig(mode="bio2_memetic", fused="off"))
     assert FusedBio2Engine.supports(s2b) is not None
     s3 = IKSolver(arm, [G.PoseGoal(link=TIP)],
@@ -407,9 +412,10 @@ def test_megastep_secondary_matches_pallas_interpret(arm):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
 
 
-def test_megastep_lookat_matches_pallas_interpret(arm):
-    """Lookat-instance megastep (normalized direction error + partial
-    gradient) — Pallas interpret vs plain-jnp body, bitwise."""
+def test_megastep_aux_kinds_match_pallas_interpret(arm):
+    """Non-pose goal-kind megastep (lookat/line/plane/distance/direction/
+    side errors + partial gradients) — Pallas interpret vs plain-jnp
+    body, bitwise."""
     from bio_ik_tpu.kernels.bio2_fullstep import array_draw_gen
     from bio_ik_tpu.kernels.bio2_megastep import (
         make_megastep_body,
@@ -417,14 +423,16 @@ def test_megastep_lookat_matches_pallas_interpret(arm):
     )
 
     V = arm.nvars
-    sp = SpeciesParams(V=V, K=2, C=4, gens=2, mem_iters=2, memetic="q")
-    inst_kind = ["pose", "lookat"]
+    inst_kind = ["pose", "lookat", "line", "plane", "max_distance",
+                 "min_distance", "direction", "side"]
+    K = len(inst_kind)
+    sp = SpeciesParams(V=V, K=K, C=4, gens=2, mem_iters=2, memetic="q")
     nst = 2
     body, F = make_megastep_body(
-        arm, [TIP], list(range(V)), [0, 0], sp, nst, use_pltpu_roll=False,
+        arm, [TIP], list(range(V)), [0] * K, sp, nst, use_pltpu_roll=False,
         inst_kind=inst_kind)
     kfn, F2 = make_megastep_kernel(
-        arm, [TIP], list(range(V)), [0, 0], sp, nst,
+        arm, [TIP], list(range(V)), [0] * K, sp, nst,
         block_n=128, interpret=True, inkernel_rng=False,
         inst_kind=inst_kind)
     assert F == F2 == 0
@@ -449,12 +457,14 @@ def test_megastep_lookat_matches_pallas_interpret(arm):
                                (1, N)))
     cmax = jnp.asarray(np.tile(b["clip_max"].astype(np.float32)[:, None],
                                (1, N)))
-    axis = np.tile(np.array([1.0, 0, 0, 0, 0, 1.0], np.float32)[:, None],
-                   (1, N))
+    # unit aux vectors (axis / line direction / plane normal) per instance
+    aux = rng.normal(size=(K, 3)).astype(np.float32)
+    aux /= np.linalg.norm(aux, axis=-1, keepdims=True)
+    aux_rows = np.tile(aux.reshape(K * 3, 1), (1, N))
     consts = (
         jnp.zeros((1, N), jnp.float32),
-        r(2 * 3, N), r(2 * 4, N), jnp.asarray(axis),   # gpos, gquat, gaux
-        jnp.abs(r(2, N)), jnp.abs(r(2, N)),
+        r(K * 3, N), r(K * 4, N), jnp.asarray(aux_rows),  # gpos,gquat,gaux
+        jnp.abs(r(K, N)), jnp.abs(r(K, N)),
         jnp.abs(r(V, N)) + 1.0, cmin, cmax, cmin, cmax,
     )
     noise = r(nst * sp.gens, V, sp.C, N)
@@ -493,7 +503,7 @@ def test_engine_solves_lookat(arm, arm_fk, rng):
                       target=(1.0, 0.0, 0.5), weight=0.5)],
         cfg,
     )
-    assert s.engine is not None and s.engine.has_lookat
+    assert s.engine is not None and s.engine.has_aux
     qg = random_q(arm, rng, B)
     tg = arm_fk(jnp.asarray(qg))
     data0 = s.make_data(jnp.asarray(arm.neutral_q()))
