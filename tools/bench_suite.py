@@ -42,7 +42,8 @@ B = int(os.environ.get("BENCH_BATCH", "2048"))
 
 
 def run_config(name, urdf, tips, goals, cfg, pos_tol, batch=None,
-               adaptive=True, phases=((1, 8), (2, 32), (4, 64))):
+               adaptive=True, phases=((1, 8), (2, 32), (4, 64)),
+               fractions=None):
     batch = batch or B
     m = RobotModel.from_urdf_file(asset_path(urdf))
     fk = jax.jit(make_fk(m, tips))
@@ -52,7 +53,8 @@ def run_config(name, urdf, tips, goals, cfg, pos_tol, batch=None,
     tg = fk(jnp.asarray(qg))
 
     if adaptive:
-        s = AdaptiveBatchSolver(m, goals, cfg, phases=phases)
+        s = AdaptiveBatchSolver(m, goals, cfg, phases=phases,
+                                fractions=fractions)
     else:
         s = IKSolver(m, goals, cfg)
     data0 = s.make_data(jnp.asarray(m.neutral_q()))
@@ -188,8 +190,9 @@ def main():
          G.MinimalDisplacementGoal(weight=0.2),
          G.AvoidJointLimitsGoal(weight=0.2)],
         SolverConfig(mode="bio2_memetic", dpos=1e-2, drot=float("inf"),
-                     dtwist=float("inf"), max_steps=16),
-        1e-2, batch=min(B, 256), adaptive=False,
+                     dtwist=float("inf")),
+        1e-2, batch=min(B, 1024),
+        phases=((1, 16), (2, 16), (4, 48)), fractions=(0.4, 0.15),
     )
 
 
