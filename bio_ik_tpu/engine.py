@@ -388,6 +388,16 @@ class FusedBio2Engine:
                 wpos.append(w)
                 wrot.append(jnp.zeros_like(w))
                 continue
+            if kind == "cone":
+                gpos.append(gd["position"][..., k, :])
+                # free gquat rows carry [direction(3), angle]
+                gquat.append(jnp.concatenate(
+                    [gd["direction"][..., k, :],
+                     gd["angle"][..., k][..., None]], axis=-1))
+                gaux.append(gd["axis"][..., k, :])
+                wpos.append(w)
+                wrot.append(gd["position_weight_sq"][..., k])
+                continue
             gaux.append(zeros3)
             gpos.append(gd["position"][..., k, :] if kind in ("position", "pose")
                         else zeros3)

@@ -36,9 +36,9 @@ __all__ = ["make_fullstep_inner", "make_fullstep_kernel",
            "AUX_KINDS"]
 
 # goal kinds whose kernel rows need the extra gaux (K·3) const: the
-# link-local axis (lookat/direction/side) or the line direction / plane
-# normal; every kind here also requires the fullstep tier
-AUX_KINDS = ("lookat", "line", "plane", "direction", "side")
+# link-local axis (lookat/direction/side/cone) or the line direction /
+# plane normal; every kind here also requires the fullstep tier
+AUX_KINDS = ("lookat", "line", "plane", "direction", "side", "cone")
 
 GAUSS_MODES = ("clt4", "box_muller")
 
@@ -166,6 +166,22 @@ def make_sec_eval(sec, V, sec_terms):
         return g
 
     return sec_of, sec_grad
+
+
+def _atan2_nonneg(y, x):
+    """atan2 for y ≥ 0 (range [0, π]) via a Hastings odd polynomial —
+    Mosaic has no atan2/acos lowering; max error ~1e-5 rad, irrelevant
+    for the cone hinge it feeds (the acceptance test re-evaluates the
+    exact XLA form at chunk boundaries)."""
+    ax = jnp.abs(x)
+    mn = jnp.minimum(y, ax)
+    mx = jnp.maximum(y, ax)
+    t = mn / (mx + 1e-30)
+    t2 = t * t
+    p = t * (0.9998660 + t2 * (-0.3302995 + t2 * (0.1801410 + t2 * (
+        -0.0851330 + t2 * 0.0208351))))
+    r = jnp.where(y > ax, jnp.float32(np.pi / 2) - p, p)
+    return jnp.where(x < 0, jnp.float32(np.pi) - r, r)
 
 
 def _comp(tipcomp, d):
@@ -361,6 +377,33 @@ def make_fullstep_inner(model, tip_links: Sequence[str],
                         c = 2.0 * sgn * row(wpos, k) * dd * rinv
                         for d in range(3):
                             gvec[k * 7 + d] = c * dx[d]
+                elif inst_kind[k] == "cone":
+                    # max(0, angle(R·axis, dir) − angle)² + pw·‖pos−p‖²
+                    # (problem.py _eval_cone, goal_types.h:646-712) —
+                    # axis in gaux; the free gquat rows carry [dir(3),
+                    # angle]; pw rides the wrot row; cone apex in gpos;
+                    # angular gradient omitted (accept-guard policy)
+                    q = tuple(ph[k * 7 + 3 + d] for d in range(4))
+                    ax = tuple(row(gaux, k * 3 + d) for d in range(3))
+                    v = _qrot_comp(q, ax)
+                    dr = tuple(row(gquat, k * 4 + d) for d in range(3))
+                    cx = v[1] * dr[2] - v[2] * dr[1]
+                    cy = v[2] * dr[0] - v[0] * dr[2]
+                    cz = v[0] * dr[1] - v[1] * dr[0]
+                    cn = jnp.sqrt(cx * cx + cy * cy + cz * cz + 1e-18)
+                    dot = v[0] * dr[0] + v[1] * dr[1] + v[2] * dr[2]
+                    ang = _atan2_nonneg(cn, dot)
+                    dd = jnp.maximum(ang - row(gquat, k * 4 + 3), 0.0)
+                    pe = 0.0
+                    for d in range(3):
+                        e = row(gpos, k * 3 + d) - ph[k * 7 + d]
+                        pe = pe + e * e
+                    term = row(wpos, k) * (dd * dd + row(wrot, k) * pe)
+                    if want_grad:
+                        c = 2.0 * row(wpos, k) * row(wrot, k)
+                        for d in range(3):
+                            gvec[k * 7 + d] = c * (
+                                ph[k * 7 + d] - row(gpos, k * 3 + d))
                 elif inst_kind[k] in ("direction", "side"):
                     # direction: ‖R(q)·axis − dir‖²; side: relu(R·axis ·
                     # dir)² (problem.py _eval_direction/_eval_side) —

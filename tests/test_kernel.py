@@ -96,16 +96,17 @@ def test_engine_supports_classification(arm):
     s = IKSolver(arm, [G.PoseGoal(link=TIP)],
                  SolverConfig(mode="bio2_memetic", fused="off"))
     assert FusedBio2Engine.supports(s) is None
-    # lookat/line/plane/distance/direction/side primaries ARE fused
-    # (fullstep tier); cone goals are not
+    # every link-goal kind except touch/balance/link_function is fused
+    # (fullstep tier); touch stays on the vmapped path
     s2 = IKSolver(arm, [G.PoseGoal(link=TIP), G.LookAtGoal(link=TIP)],
                   SolverConfig(mode="bio2_memetic", fused="off"))
     assert FusedBio2Engine.supports(s2) is None
     s2a = IKSolver(arm, [G.PoseGoal(link=TIP), G.LineGoal(link=TIP),
-                         G.MaxDistanceGoal(link=TIP, distance=1.0)],
+                         G.MaxDistanceGoal(link=TIP, distance=1.0),
+                         G.ConeGoal(link=TIP)],
                    SolverConfig(mode="bio2_memetic", fused="off"))
     assert FusedBio2Engine.supports(s2a) is None
-    s2b = IKSolver(arm, [G.PoseGoal(link=TIP), G.ConeGoal(link=TIP)],
+    s2b = IKSolver(arm, [G.PoseGoal(link=TIP), G.TouchGoal(link=TIP)],
                    SolverConfig(mode="bio2_memetic", fused="off"))
     assert FusedBio2Engine.supports(s2b) is not None
     s3 = IKSolver(arm, [G.PoseGoal(link=TIP)],
@@ -424,7 +425,7 @@ def test_megastep_aux_kinds_match_pallas_interpret(arm):
 
     V = arm.nvars
     inst_kind = ["pose", "lookat", "line", "plane", "max_distance",
-                 "min_distance", "direction", "side"]
+                 "min_distance", "direction", "side", "cone"]
     K = len(inst_kind)
     sp = SpeciesParams(V=V, K=K, C=4, gens=2, mem_iters=2, memetic="q")
     nst = 2
