@@ -77,14 +77,26 @@ def main():
     # matched budgets: bio2 runs 16 steps (its production default);
     # bio1 gets the same step count with its reference defaults
     # (population 8 / elite 4); gd gets 4× the steps (its steps are far
-    # cheaper — one 2-point gradient + probe vs a full generation)
+    # cheaper — one 2-point gradient + probe vs a full generation).
+    # Step budgets approximate the reference's wall-time matching: a
+    # bio1 generation (pop 8, ~1 FK per individual) costs ~1/4 of a
+    # bio2 step (2 species × 16 children + memetic probes), and a gd
+    # step (2V+3 fitness calls) ~1/2 — the reference races all solvers
+    # for the SAME timeout (ik_parallel.h:160-210), so per-solver step
+    # counts differ by exactly these cost ratios.  Plain ``gd`` is
+    # excluded: without the 'r' reset or 'c' continue policy it
+    # deterministically recomputes the same rejected step once stuck
+    # (faithful to ik_gradient.cpp:225-248, where if_stuck==' ' leaves
+    # the state unchanged forever) — gd_c is the family's converging
+    # member, gd_r the multistart one.
     for mode, steps, extra in [
         ("bio2_memetic", 16, ()),
         ("bio2", 32, ()),
-        ("bio1", 16, ()),
-        ("bio1", 16, (("linear_fitness", True),)),
-        ("gd_4", 64, ()),
-        ("jac_4", 64, ()),
+        ("bio1", 64, ()),
+        ("bio1", 64, (("linear_fitness", True),)),
+        ("gd_c_4", 32, ()),
+        ("gd_r_4", 32, ()),
+        ("jac_4", 32, ()),
     ]:
         r = run_mode(m, fk, tg, mode, steps, extra)
         if extra:
@@ -95,11 +107,11 @@ def main():
 
     ordering_ok = (
         rows["bio2_memetic"]["success_rate"] >= rows["bio1"]["success_rate"]
-        and rows["bio1"]["success_rate"] >= rows["gd_4"]["success_rate"]
+        and rows["bio1"]["success_rate"] >= rows["gd_c_4"]["success_rate"]
     )
     print(json.dumps({
         "config": "pr2_parity_64_summary",
-        "expected_ordering": "bio2_memetic >= bio1 >= gd_4",
+        "expected_ordering": "bio2_memetic >= bio1 >= gd_c_4",
         "ordering_holds": bool(ordering_ok),
     }), flush=True)
 
