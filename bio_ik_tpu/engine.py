@@ -168,6 +168,10 @@ class FusedBio2Engine:
         self.sp = SpeciesParams(
             V=self.ctx.nvars, K=K, C=_C, gens=gens,
             mem_iters=8, memetic=memetic,
+            # floating-joint quat gene blocks renormalized in-kernel after
+            # each mutation (only ever non-empty on the species tier — a
+            # fullstep chain is FIXED/REVOLUTE/PRISMATIC, so no quat genes)
+            quat_slices=tuple(getattr(iksolver.solver, "quat_slices", ())),
         )
         # joint-space secondary goals run in-kernel (pre-selection +
         # combined memetic fitness, reference: ik_evolution_2.cpp:366-378,
@@ -259,8 +263,6 @@ class FusedBio2Engine:
     @staticmethod
     def supports(iksolver) -> Optional[str]:
         """None when the fused fast path applies, else the reason why not."""
-        from .solvers.bio2 import Bio2Solver
-
         p = iksolver.problem
         if iksolver.config.mode not in _MEMETIC_OF_MODE:
             return f"mode {iksolver.config.mode!r} is not a fused bio2 family"
@@ -289,8 +291,8 @@ class FusedBio2Engine:
             if not supports_fullstep_chain(model, tip_idx):
                 return ("non-pose/secondary goals need the fullstep "
                         "kernel (floating/planar chain)")
-        if isinstance(iksolver.solver, Bio2Solver) and iksolver.solver.quat_slices:
-            return "floating-joint quaternion genes need renormalization"
+        # floating-joint quaternion genes are renormalized in-kernel on
+        # the species tier (SpeciesParams.quat_slices) — no rejection
         if np.dtype(p.dtype) != np.float32:
             return "fused kernel is float32"
         if len(p.active_vars) > _MAX_FUSED_VARS:

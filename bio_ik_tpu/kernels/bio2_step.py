@@ -22,8 +22,11 @@ Fast-path restrictions (callers fall back to the XLA path otherwise):
   * primary goals are position/orientation/pose groups only (folded into
     K goal rows with per-goal weight², rotation_scale² and a goal→tip map
     applied by the caller),
-  * no secondary goals (no pre-selection pass, reference :366-378),
-  * no floating-joint quaternion gene blocks.
+  * no secondary goals (no pre-selection pass, reference :366-378).
+
+Floating-joint quaternion gene blocks ARE supported: each mutation
+renormalizes them in-kernel (``SpeciesParams.quat_slices``, reference:
+ik_evolution_2.cpp:320-324).
 
 The same math runs in three ways from one source (``make_species_inner``):
 inside the Pallas kernel, as a plain-jnp function (CPU tests / fallback),
@@ -54,6 +57,9 @@ class SpeciesParams(NamedTuple):
     mem_iters: int = 8  # memetic iterations (reference :453)
     memetic: str = "q"  # 'q' quadratic | 'l' linear | '' none
     h: float = 1e-3   # memetic probe length (f32-resolvable; see bio2.py)
+    quat_slices: tuple = ()  # start rows of floating-joint quat gene
+    #                          blocks, renormalized after each mutation
+    #                          (reference: ik_evolution_2.cpp:320-324)
 
 
 def make_species_inner(sp: SpeciesParams):
@@ -147,6 +153,16 @@ def make_species_inner(sp: SpeciesParams):
                 gv = jnp.clip(gv, clo[v], chi[v])
                 cg.append(gv)
                 cr.append(pgrad[v] * 0.7 + (gv - p0g[v]) * 0.3)  # mix(:299)
+
+            # renormalize floating-joint quaternion gene blocks per child
+            # (reference: ik_evolution_2.cpp:320-324 normalizeFast — one
+            # Newton-Raphson step toward unit norm, frame.h:231-238)
+            for s in sp.quat_slices:
+                n2 = (cg[s] * cg[s] + cg[s + 1] * cg[s + 1]
+                      + cg[s + 2] * cg[s + 2] + cg[s + 3] * cg[s + 3])
+                fnorm = (3.0 - n2) * 0.5
+                for d in range(4):
+                    cg[s + d] = cg[s + d] * fnorm
 
             # pool rows: parents first (kept alive, reference :381-388)
             pool_g = [

@@ -52,9 +52,10 @@ def test_fk_vs_native_oracle(rng):
 
 
 def test_floating_base_solve(rng):
-    """bio2_memetic position goal on the floating-base arm: the engine
-    must reject the chain (quaternion genes) and the vmapped path must
-    still converge — the base can simply translate to the target."""
+    """bio2_memetic position goal on the floating-base arm: the fused
+    species tier accepts the chain (quaternion genes renormalized
+    in-kernel, SpeciesParams.quat_slices) and converges — the base can
+    simply translate to the target."""
     m = RobotModel.from_urdf_file(asset_path("free_arm.urdf"))
     fk = make_fk(m, ["tool"])
     qg = random_q(m, rng)
@@ -62,18 +63,25 @@ def test_floating_base_solve(rng):
     cfg = SolverConfig(mode="bio2_memetic", max_steps=16,
                        dpos=5e-3, dtwist=float("inf"))
     s = IKSolver(m, [G.PositionGoal(link="tool")], cfg)
-    assert s.engine is None  # floating chain rejected by the fused path
+    assert s.engine is not None  # species tier, in-kernel quat renorm
+    assert s.engine.sp.quat_slices  # the quat gene block was detected
     data = s.make_data(jnp.asarray(m.neutral_q()))
     data["primary"][0]["position"] = tg.pos
+    # solve_batch(B=1) routes through the fused engine (the species
+    # tier); solve() stays on the vmapped path — run both
+    datab = jax.tree.map(lambda x: x[None], data)
+    resb = s.solve_batch(jax.random.split(jax.random.PRNGKey(0), 1), datab)
     res = s.solve(jnp.asarray(m.neutral_q()), key=jax.random.PRNGKey(0),
                   data=data)
-    t2 = fk(res.q)
-    err = float(np.linalg.norm(np.asarray(t2.pos)[0] - np.asarray(tg.pos)[0]))
-    assert err < 5e-3, err
-    # the floating quaternion block of the solution must be normalized
     vs = int(m.vstart[m.link_index["base"]])
-    qn = np.linalg.norm(np.asarray(res.q)[vs + 3 : vs + 7])
-    assert abs(qn - 1.0) < 1e-2, qn
+    for r, q in ((resb, np.asarray(resb.q)[0]), (res, np.asarray(res.q))):
+        t2 = fk(jnp.asarray(q)[None])
+        err = float(np.linalg.norm(
+            np.asarray(t2.pos)[0, 0] - np.asarray(tg.pos)[0]))
+        assert err < 5e-3, err
+        # the floating quaternion block of the solution must be normalized
+        qn = np.linalg.norm(q[vs + 3 : vs + 7])
+        assert abs(qn - 1.0) < 1e-2, qn
 
 
 def test_jacobian_fd_columns(rng):
