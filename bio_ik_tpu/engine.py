@@ -20,7 +20,8 @@ Two kernel tiers, selected automatically:
     ik_evolution_2.cpp:366-378, :459-537);
   * **species** (:mod:`bio_ik_tpu.kernels.bio2_step`): linearization and
     exact FK stay in XLA; used when the chain has floating/planar
-    joints (no secondary goals on this tier).
+    joints.  Joint-space secondary goals and floating-joint quaternion
+    gene renormalization run in-kernel on this tier too.
 
 Semantically equivalent to ``IKSolver.solve_batch`` with a bio2-family
 mode (same per-step algorithm, same acceptance and winner-selection
@@ -254,9 +255,11 @@ class FusedBio2Engine:
         else:
             if use_pallas:
                 self.kernel = make_species_kernel(self.sp, block_n=block_n,
-                                                  interpret=interpret)
+                                                  interpret=interpret,
+                                                  sec_terms=self.sec_terms)
             else:
-                self.kernel = jax.jit(make_species_inner(self.sp))
+                self.kernel = jax.jit(
+                    make_species_inner(self.sp, self.sec_terms))
         self._solve_jit = jax.jit(self._solve_batch)
 
     # ------------------------------------------------------------------
@@ -266,13 +269,17 @@ class FusedBio2Engine:
         p = iksolver.problem
         if iksolver.config.mode not in _MEMETIC_OF_MODE:
             return f"mode {iksolver.config.mode!r} is not a fused bio2 family"
-        # non-pose goal kinds and secondary goals run only on the
-        # fullstep kernel tier (the species tier keeps pose-shaped rows)
+        # non-pose goal kinds run only on the fullstep kernel tier (the
+        # species tier keeps pose-shaped rows)
         from .kernels.bio2_fullstep import AUX_KINDS as _AUX
 
         fused_kinds = ("position", "orientation", "pose",
                        "max_distance", "min_distance") + _AUX
-        needs_fullstep = p.has_secondary
+        # joint-space secondary goals run on BOTH tiers (fullstep:
+        # in-kernel SEC_ROWS; species: the same pre-selection + combined
+        # memetic in make_species_inner) — only non-pose primaries force
+        # the fullstep chain requirement
+        needs_fullstep = False
         if p.has_secondary:
             for grp in p.secondary:
                 if grp.kind not in _SEC_TERM_OF:
@@ -289,7 +296,7 @@ class FusedBio2Engine:
             model = p.model
             tip_idx = [model.link_index[t] for t in p.tip_links]
             if not supports_fullstep_chain(model, tip_idx):
-                return ("non-pose/secondary goals need the fullstep "
+                return ("non-pose primary goals need the fullstep "
                         "kernel (floating/planar chain)")
         # floating-joint quaternion genes are renormalized in-kernel on
         # the species tier (SpeciesParams.quat_slices) — no rejection
@@ -625,13 +632,20 @@ class FusedBio2Engine:
         salt_row = jnp.pad(salt_m, (0, Mp - M))[None, :]         # (1, Mp)
         salt_bi = jnp.broadcast_to(salt_b[:, None], (B, I))
         gm = self.config.gauss_mode
+        if self.sec_terms:
+            sec_rows = lane_goal(self._secondary_rows(data, B))  # (8V, Mp)
 
         def step(carry, key):
             genes, grads, sfit, solution, sol_fit, sol_tips = carry
-            k_noise, k_rate, k_wipe_p, k_wipe_g = jax.random.split(key, 4)
+            k_noise, k_rate, k_wipe_p, k_wipe_g, k_keep = (
+                jax.random.split(key, 5))
 
             noise = _gauss_bits(k_noise, (gens, V, C, Mp), salt_row, gm)
             rates = _rate_bits(k_rate, (gens, C, Mp), salt_row)
+            sec_args = ()
+            if self.sec_terms:
+                keeps = _u01_bits(k_keep, (gens, 1, Mp), salt_row)
+                sec_args = (keeps, sec_rows)
 
             # linearize at parent 0 in XLA (reference :341-346)
             qa0 = genes[:V, :M].T                            # (M, V)
@@ -644,7 +658,7 @@ class FusedBio2Engine:
             )
             genes, grads = self.kernel(
                 genes, grads, tips0, deltas, gpos, gquat, wpos, wrot,
-                span, cmin, cmax, noise, rates,
+                span, cmin, cmax, noise, rates, *sec_args,
             )
             qa_new = genes[:V, :M].T                         # (M, V)
             tips_f = ctx.tips_frame(seed_full_m, qa_new)     # (M, T)
@@ -719,13 +733,18 @@ class FusedBio2Engine:
             )
             ok = p.check_solution(tf, qa, data_bi).reshape(B, I)
             fit = sol_fit
+            if p.has_secondary:
+                # successes ranked by combined fitness, failures by
+                # primary (api._eval_islands / ik_parallel.h:220-261)
+                fsec = p.fitness_secondary(qa, data_bi).reshape(B, I)
+                rank = jnp.where(ok, fit + fsec, fit)
+            else:
+                rank = fit
             any_ok = jnp.any(ok, axis=1, keepdims=True)
-            sel = jnp.where(ok == any_ok, fit, jnp.inf)
+            sel = jnp.where(ok == any_ok, rank, jnp.inf)
             i = jnp.argmin(sel, axis=1)
             bi = jnp.arange(B)
-            # no secondary goals on the fast path ⇒ rank key == primary
-            # fitness for both successes and failures (api._eval_islands)
-            return solution[bi, i], fit[bi, i], ok[bi, i], fit[bi, i]
+            return solution[bi, i], fit[bi, i], ok[bi, i], rank[bi, i]
 
         carry = (genes, grads, sfit, solution, sol_fit, sol_tips)
         best = eval_islands(solution, sol_fit, sol_tips)

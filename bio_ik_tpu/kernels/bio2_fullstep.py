@@ -28,12 +28,12 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .bio2_step import SpeciesParams, _P
+from .bio2_step import SEC_ROWS, SpeciesParams, _P, make_sec_eval
 from .fk_rows import FkRows, _qrot as _qrot_comp
 
 __all__ = ["make_fullstep_inner", "make_fullstep_kernel",
            "make_rng_helpers", "gauss_from_u01", "array_draw_gen",
-           "AUX_KINDS"]
+           "AUX_KINDS", "SEC_ROWS", "make_sec_eval"]
 
 # goal kinds whose kernel rows need the extra gaux (K·3) const: the
 # link-local axis (lookat/direction/side/cone) or the line direction /
@@ -116,58 +116,6 @@ def array_draw_gen(noise, rates, keep=None):
 # the δ completion term) are dropped — every kernel use of the secondary
 # fitness (pre-selection ranking, memetic line-search differences,
 # gradients) is invariant to them.
-SEC_ROWS = ("alpha", "beta", "gamma", "delta", "tbar", "mid", "hspan",
-            "seed")
-
-
-def make_sec_eval(sec, V, sec_terms):
-    """Row-level secondary fitness + gradient over the packed ``sec``
-    const.  ``sec_terms`` ⊆ {"alpha","beta","gamma","delta"} statically
-    gates which terms the problem actually has (absent terms cost
-    nothing).  Returns ``(sec_of(xs) → (·,N), sec_grad(xs, v) → (·,N))``
-    for ``xs`` a list of V rows."""
-    ridx = {name: i for i, name in enumerate(SEC_ROWS)}
-
-    def row(name, v):
-        return sec[ridx[name] * V + v : ridx[name] * V + v + 1, :]
-
-    def terms_v(xs, v):
-        out = []
-        xm = xs[v] - row("mid", v)
-        es = xs[v] - row("seed", v)
-        if "alpha" in sec_terms:
-            out.append(("alpha", xm))
-        if "beta" in sec_terms:
-            out.append(("beta", es))
-        if "delta" in sec_terms:
-            out.append(("delta", xs[v] - row("tbar", v)))
-        return out, xm
-
-    def sec_of(xs):
-        acc = 0.0
-        for v in range(V):
-            quads, xm = terms_v(xs, v)
-            for name, e in quads:
-                acc = acc + row(name, v) * (e * e)
-            if "gamma" in sec_terms:
-                r = jnp.maximum(2.0 * jnp.abs(xm) - row("hspan", v), 0.0)
-                acc = acc + row("gamma", v) * (r * r)
-        return acc
-
-    def sec_grad(xs, v):
-        quads, xm = terms_v(xs, v)
-        g = 0.0
-        for name, e in quads:
-            g = g + 2.0 * row(name, v) * e
-        if "gamma" in sec_terms:
-            r = jnp.maximum(2.0 * jnp.abs(xm) - row("hspan", v), 0.0)
-            sgn = jnp.where(xm >= 0, 1.0, -1.0).astype(xs[v].dtype)
-            g = g + 4.0 * row("gamma", v) * r * sgn
-        return g
-
-    return sec_of, sec_grad
-
-
 def _atan2_nonneg(y, x):
     """atan2 for y ≥ 0 (range [0, π]) via a Hastings odd polynomial —
     Mosaic has no atan2/acos lowering; max error ~1e-5 rad, irrelevant

@@ -42,9 +42,65 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["make_species_inner", "make_species_kernel", "SpeciesParams"]
+__all__ = ["make_species_inner", "make_species_kernel", "SpeciesParams",
+           "SEC_ROWS", "make_sec_eval"]
 
 _P = 2  # parents kept per species (reference: population_size=2, ik_evolution_2.cpp:137)
+
+# packed per-variable secondary-fitness rows (engine._secondary_rows
+# builds them in this order; shared by the species and fullstep tiers)
+SEC_ROWS = ("alpha", "beta", "gamma", "delta", "tbar", "mid", "hspan",
+            "seed")
+
+
+def make_sec_eval(sec, V, sec_terms):
+    """Row-level secondary fitness + gradient over the packed ``sec``
+    const ``(8·V, N)``.  ``sec_terms`` ⊆ {"alpha","beta","gamma","delta"}
+    statically gates which terms the problem actually has (absent terms
+    cost nothing).  Returns ``(sec_of(xs) → (·,N), sec_grad(xs, v) →
+    (·,N))`` for ``xs`` a list of V rows.  Quadratic forms: see the
+    secondary evaluators in problem.py (reference: goal_types.h:240-367).
+    """
+    ridx = {name: i for i, name in enumerate(SEC_ROWS)}
+
+    def row(name, v):
+        return sec[ridx[name] * V + v : ridx[name] * V + v + 1, :]
+
+    def terms_v(xs, v):
+        out = []
+        xm = xs[v] - row("mid", v)
+        es = xs[v] - row("seed", v)
+        if "alpha" in sec_terms:
+            out.append(("alpha", xm))
+        if "beta" in sec_terms:
+            out.append(("beta", es))
+        if "delta" in sec_terms:
+            out.append(("delta", xs[v] - row("tbar", v)))
+        return out, xm
+
+    def sec_of(xs):
+        acc = 0.0
+        for v in range(V):
+            quads, xm = terms_v(xs, v)
+            for name, e in quads:
+                acc = acc + row(name, v) * (e * e)
+            if "gamma" in sec_terms:
+                r = jnp.maximum(2.0 * jnp.abs(xm) - row("hspan", v), 0.0)
+                acc = acc + row("gamma", v) * (r * r)
+        return acc
+
+    def sec_grad(xs, v):
+        quads, xm = terms_v(xs, v)
+        g = 0.0
+        for name, e in quads:
+            g = g + 2.0 * row(name, v) * e
+        if "gamma" in sec_terms:
+            r = jnp.maximum(2.0 * jnp.abs(xm) - row("hspan", v), 0.0)
+            sgn = jnp.where(xm >= 0, 1.0, -1.0).astype(xs[v].dtype)
+            g = g + 4.0 * row("gamma", v) * r * sgn
+        return g
+
+    return sec_of, sec_grad
 
 
 class SpeciesParams(NamedTuple):
@@ -62,7 +118,7 @@ class SpeciesParams(NamedTuple):
     #                          (reference: ik_evolution_2.cpp:320-324)
 
 
-def make_species_inner(sp: SpeciesParams):
+def make_species_inner(sp: SpeciesParams, sec_terms: tuple = ()):
     """Build ``inner(args...) -> (genes_out, grads_out)`` on (rows, N)
     arrays.  Row layouts:
 
@@ -74,6 +130,16 @@ def make_species_inner(sp: SpeciesParams):
       span, cmin, cmax (V, N)
       noise         (gens, V, C, N) unit gaussians
       rates         (gens, C, N) mutation rates (2^(k-23), reference :265)
+
+    With ``sec_terms`` non-empty two trailing args are required:
+
+      keeps         (gens, 1, N) uniforms for the pre-selection prefix
+      sec           (8·V, N)   packed :data:`SEC_ROWS` quadratic consts
+
+    and each generation ranks children by secondary fitness, keeping a
+    random-count best prefix (reference: ik_evolution_2.cpp:366-378);
+    the memetic line search then runs on the COMBINED fitness with
+    primary-vs-primary acceptance (reference :459-537).
 
     The linearization point x0 is genes row block of parent 0 (the caller
     linearized there, reference :341-346).
@@ -122,9 +188,11 @@ def make_species_inner(sp: SpeciesParams):
         return fit
 
     def inner(genes, grads, tips0, deltas, gpos, gquat, wpos, wrot,
-              span, cmin, cmax, noise, rates):
+              span, cmin, cmax, noise, rates, keeps=None, sec=None):
         f32 = genes.dtype
         N = genes.shape[-1]
+        if sec_terms:
+            sec_of, sec_grad = make_sec_eval(sec, V, sec_terms)
 
         # parent gene/grad rows as lists of (1, N)
         p0g = [row(genes, 0 * V + v) for v in range(V)]
@@ -176,6 +244,26 @@ def make_species_inner(sp: SpeciesParams):
             ph = phen_rows(tips0, deltas, dq)
             fit = fitness_rows(ph, gpos, gquat, wpos, wrot)  # (C2, N)
 
+            if sec_terms:
+                # pre-selection: rank children by secondary fitness, keep
+                # a random-count best prefix for the primary selection
+                # (reference :366-378)
+                ssec = sec_of(cg)                       # (C, N)
+                s_i = ssec[:, None, :]                  # (C, 1, N)
+                s_j = ssec[None, :, :]                  # (1, C, N)
+                ii = jax.lax.broadcasted_iota(jnp.int32, (C, C, 1), 0)
+                jj = jax.lax.broadcasted_iota(jnp.int32, (C, C, 1), 1)
+                beats = (s_j < s_i) | ((s_j == s_i) & (jj < ii))
+                rank = jnp.sum(beats.astype(jnp.int32), axis=1)   # (C, N)
+                kcount = (keeps[g] * (C - 1)).astype(jnp.int32) + 1
+                child_keep = rank < kcount              # ∈ [1, C-1] kept
+                # parents always survive; mask dropped children to +inf
+                # (f32 concat — Mosaic cannot concatenate i1 vectors)
+                fit = jnp.concatenate(
+                    [fit[:_P],
+                     jnp.where(child_keep, fit[_P:],
+                               jnp.asarray(jnp.inf, f32))], axis=0)
+
             # select best 2 by one-hot min (reference selection :410-431);
             # first-occurrence tie-break via an index-min (cumsum does not
             # lower to Pallas TPU)
@@ -216,7 +304,11 @@ def make_species_inner(sp: SpeciesParams):
             x = list(p0g)
             done = jnp.zeros((1, x[0].shape[-1]), bool)
             for _ in range(sp.mem_iters):
-                f2, ph = f_of(x)
+                f2p, ph = f_of(x)
+                # line search runs on the COMBINED fitness when secondary
+                # goals exist; acceptance stays primary-vs-primary
+                # (reference :459-537: fa = f2p + secondary, f4p < f2p)
+                f2 = f2p + sec_of(x) if sec_terms else f2p
                 # analytic gradient of the approximated pose fitness
                 # (replaces the reference's 1e-7 finite differences, :450-474
                 # — see bio2.py for the precision rationale)
@@ -244,6 +336,8 @@ def make_species_inner(sp: SpeciesParams):
                             acc_q = acc_q + row(deltas, (v * K + k) * 7 + 3 + d) * e
                         gv = gv + 2.0 * (row(wpos, k) * acc_p
                                           + row(wrot, k) * acc_q)
+                    if sec_terms:
+                        gv = gv + sec_grad(x, v)
                     grad.append(gv)
 
                 l1 = 0.0
@@ -252,8 +346,13 @@ def make_species_inner(sp: SpeciesParams):
                 scale = h / (l1 + eps)
                 gdir = [grad[v] * scale for v in range(V)]
 
-                f1, _ = f_of([x[v] - gdir[v] for v in range(V)])
-                f3, _ = f_of([x[v] + gdir[v] for v in range(V)])
+                xm_ = [x[v] - gdir[v] for v in range(V)]
+                xp_ = [x[v] + gdir[v] for v in range(V)]
+                f1, _ = f_of(xm_)
+                f3, _ = f_of(xp_)
+                if sec_terms:
+                    f1 = f1 + sec_of(xm_)
+                    f3 = f3 + sec_of(xp_)
 
                 if sp.memetic == "q":
                     # quadratic fit (reference :498-516)
@@ -276,8 +375,8 @@ def make_species_inner(sp: SpeciesParams):
                         for v in range(V)
                     ]
 
-                f4, _ = f_of(cand)
-                accept = (f4 < f2) & ~done
+                f4p, _ = f_of(cand)
+                accept = (f4p < f2p) & ~done
                 x = [jnp.where(accept, cand[v], x[v]) for v in range(V)]
                 done = done | ~accept  # break on non-improvement (:535-537)
             p0g = x
@@ -290,25 +389,32 @@ def make_species_inner(sp: SpeciesParams):
 
 
 def make_species_kernel(sp: SpeciesParams, block_n: int = 256,
-                        interpret: bool = False):
+                        interpret: bool = False, sec_terms: tuple = ()):
     """Wrap the inner as a ``pl.pallas_call`` blocked over the problem
     lane axis.  Returns ``fn(genes, grads, tips0, deltas, gpos, gquat,
-    wsq, rssq, span, cmin, cmax, noise, rates) -> (genes', grads')`` for
-    ``(rows, N)`` inputs with N a multiple of ``block_n``.
+    wsq, rssq, span, cmin, cmax, noise, rates[, keeps, sec]) ->
+    (genes', grads')`` for ``(rows, N)`` inputs with N a multiple of
+    ``block_n`` (trailing ``keeps/sec`` required iff ``sec_terms``).
     """
     from jax.experimental.pallas import tpu as pltpu  # deferred: CPU-safe
 
     V, K, C = sp.V, sp.K, sp.C
-    inner = make_species_inner(sp)
+    inner = make_species_inner(sp, sec_terms)
+    has_sec = bool(sec_terms)
 
-    def kernel(genes_ref, grads_ref, tips0_ref, deltas_ref, gpos_ref,
-               gquat_ref, wpos_ref, wrot_ref, span_ref, cmin_ref, cmax_ref,
-               noise_ref, rates_ref, genes_out_ref, grads_out_ref):
+    def kernel(*refs):
+        (genes_ref, grads_ref, tips0_ref, deltas_ref, gpos_ref,
+         gquat_ref, wpos_ref, wrot_ref, span_ref, cmin_ref, cmax_ref,
+         noise_ref, rates_ref) = refs[:13]
+        extra = {}
+        if has_sec:
+            extra = dict(keeps=refs[13][:], sec=refs[14][:])
+        genes_out_ref, grads_out_ref = refs[-2:]
         genes_out, grads_out = inner(
             genes_ref[:], grads_ref[:], tips0_ref[:], deltas_ref[:],
             gpos_ref[:], gquat_ref[:], wpos_ref[:], wrot_ref[:],
             span_ref[:], cmin_ref[:], cmax_ref[:],
-            noise_ref[:], rates_ref[:],
+            noise_ref[:], rates_ref[:], **extra,
         )
         genes_out_ref[:] = genes_out
         grads_out_ref[:] = grads_out
@@ -335,6 +441,10 @@ def make_species_kernel(sp: SpeciesParams, block_n: int = 256,
         pl.BlockSpec((sp.gens, C, W), lambda i: (0, 0, i),
                      memory_space=pltpu.VMEM),   # rates
     ]
+    if has_sec:
+        in_specs.append(pl.BlockSpec((sp.gens, 1, W), lambda i: (0, 0, i),
+                                     memory_space=pltpu.VMEM))  # keeps
+        in_specs.append(spec2(8 * V))                           # sec rows
     out_specs = (spec2(_P * V), spec2(_P * V))
 
     # FLOP estimate: (gens·C2 + memetic·4)·(K·7·V·2 + K·30) per lane
@@ -343,7 +453,7 @@ def make_species_kernel(sp: SpeciesParams, block_n: int = 256,
 
     @jax.jit
     def run(genes, grads, tips0, deltas, gpos, gquat, wpos, wrot,
-            span, cmin, cmax, noise, rates):
+            span, cmin, cmax, noise, rates, *sec_args):
         N = genes.shape[-1]
         if N % W:
             raise ValueError(f"lane batch {N} not a multiple of {W}")
@@ -365,6 +475,6 @@ def make_species_kernel(sp: SpeciesParams, block_n: int = 256,
             ),
             interpret=interpret,
         )(genes, grads, tips0, deltas, gpos, gquat, wpos, wrot,
-          span, cmin, cmax, noise, rates)
+          span, cmin, cmax, noise, rates, *sec_args)
 
     return run

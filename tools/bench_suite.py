@@ -134,6 +134,16 @@ def main():
                      max_steps=16),
         5e-3, adaptive=False,
     )
+    # floating-base arm (mobile-manipulator analog): the fused species
+    # tier with in-kernel quaternion-gene renormalization (reference:
+    # ik_evolution_2.cpp:320-324)
+    run_config(
+        "free_arm_floating_base", "free_arm.urdf", ["tool"],
+        [G.PositionGoal(link="tool")],
+        SolverConfig(mode="bio2_memetic", dpos=5e-3, dtwist=float("inf"),
+                     max_steps=16),
+        5e-3, batch=min(B, 1024), adaptive=False,
+    )
     # BASELINE.json config 2: bio1 + gradient-descent modes on UR5
     # (vmapped XLA solver paths — neither qualifies for the fused engine)
     run_config(
