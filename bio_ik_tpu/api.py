@@ -18,6 +18,7 @@ per-scenario goal parameters live in the data pytree.
 
 from __future__ import annotations
 
+import itertools
 import math
 import time
 from typing import Any, Dict, NamedTuple, Optional, Sequence
@@ -398,7 +399,8 @@ class IKSolver:
             return None
         return res
 
-    def solve_until(self, q_seed, key=None, data=None) -> IKResult:
+    def solve_until(self, q_seed, key=None, data=None,
+                    timeout_s=None) -> IKResult:
         """Latency mode: host-polled early exit.  Runs
         ``steps_per_check``-step chunks and stops as soon as the acceptance
         test passes — the direct analog of the reference's wall-clock race
@@ -406,24 +408,42 @@ class IKSolver:
         (reference: ik_parallel.h:160-190).  Same result distribution as
         :meth:`solve` for failed queries; successful queries return the
         FIRST accepted winner rather than the best within the full budget.
+
+        ``timeout_s`` adds the reference's wall-clock deadline ("best
+        accepted solution within ``timeout`` seconds",
+        kinematics_plugin.cpp:506-507): when given it REPLACES the step
+        budget — chunks keep running until acceptance or the deadline.
+        Routed to the fused megastep engine (one kernel launch per chunk)
+        when the problem qualifies; the vmapped island path otherwise.
         """
         if key is None:
             key = jax.random.PRNGKey(self.config.seed)
         if data is None:
             data = self.make_data(q_seed)
         t_start = time.perf_counter()
+        if self.engine is not None and self.engine.fullstep:
+            res, steps = self.engine.solve_until(key, data,
+                                                 timeout_s=timeout_s)
+            if self.stats is not None:
+                self.stats.record(res, time.perf_counter() - t_start, steps)
+                _log_counter(steps, self.islands)
+            return res
         if not hasattr(self, "_init_jit"):
             self._init_jit = jax.jit(self._init_islands)
             self._chunk_jit = jax.jit(self._chunk)
             self._result_jit = jax.jit(self._result)
         spc = max(1, min(self.config.steps_per_check, self.config.max_steps))
         nchecks = max(1, self.config.max_steps // spc)
+        deadline = None if timeout_s is None else t_start + timeout_s
         state, best = self._init_jit(key, data)
         steps = 0
-        for _ in range(nchecks):
+        checks = itertools.count() if timeout_s is not None else range(nchecks)
+        for _ in checks:
             state, best = self._chunk_jit(state, best, data)
             steps += spc
             if bool(best[2]):  # success flag — host-side early exit
+                break
+            if deadline is not None and time.perf_counter() >= deadline:
                 break
         res = self._result_jit(best, data)
         if self.stats is not None:

@@ -430,13 +430,14 @@ class FusedBio2Engine:
         )
 
     # ------------------------------------------------------------------
-    def _solve_batch(self, keys, data):
-        from .api import IKResult
-
-        p, ctx, cfg = self.problem, self.ctx, self.config
-        V, K, I, S = self.sp.V, self.sp.K, self.islands, _S
+    def _lane_setup(self, keys, data):
+        """Shared (rows, lanes) layout prep for both kernel tiers: reshape
+        helpers, lane-broadcast bounds/goal constants, seed-state arrays and
+        per-lane data views.  Returned as a dict consumed by the megastep
+        prep (:meth:`_mega_prep`) and the species-tier step loop."""
+        p, ctx = self.problem, self.ctx
+        V, I, S = self.sp.V, self.islands, _S
         T = p.ntips
-        gens, C = self.sp.gens, self.sp.C
         dt = jnp.float32
         B = keys.shape[0]
         M = B * I * S
@@ -447,6 +448,13 @@ class FusedBio2Engine:
             r = x.reshape(M, -1).T
             return jnp.pad(r, ((0, 0), (0, Mp - M)))
 
+        def lane_goal(x):
+            r = x.shape[-1]
+            return to_lanes(jnp.broadcast_to(x[:, None, None, :], (B, I, S, r)))
+
+        def unlane(x, R):
+            return x[:, :M].T.reshape(B, I, S, R)
+
         seed_active = data["seed_active"].astype(dt)            # (B, V)
         seed_full = data["seed_full"]                           # (B, Vfull)
         seed_bis = jnp.broadcast_to(seed_active[:, None, None, :], (B, I, S, V))
@@ -454,33 +462,8 @@ class FusedBio2Engine:
             seed_full[:, None, None, :], (B, I, S) + seed_full.shape[-1:]
         ).reshape(M, -1)
 
-        # per-variable bounds rows, lane-broadcast
-        span = jnp.broadcast_to(p.aspan[:, None], (V, Mp)).astype(dt)
-        cmin = jnp.broadcast_to(p.aclip_min[:, None], (V, Mp)).astype(dt)
-        cmax = jnp.broadcast_to(p.aclip_max[:, None], (V, Mp)).astype(dt)
-
         # goal rows, broadcast over (I, S) then laned
         gpos_b, gquat_b, gaux_b, wpos_b, wrot_b = self._goal_rows(data, B)
-
-        def lane_goal(x):
-            r = x.shape[-1]
-            return to_lanes(jnp.broadcast_to(x[:, None, None, :], (B, I, S, r)))
-
-        gpos = lane_goal(gpos_b)
-        gquat = lane_goal(gquat_b)
-        wpos = lane_goal(wpos_b)
-        wrot = lane_goal(wrot_b)
-
-        if self.fullstep:
-            fv = self.fixed_vars
-            if fv:
-                qfix = to_lanes(
-                    jnp.broadcast_to(
-                        seed_full[:, None, None, fv], (B, I, S, len(fv))
-                    )
-                ).astype(dt)
-            else:
-                qfix = jnp.zeros((1, Mp), dt)
 
         # data views batched per lane for fitness/acceptance calls
         data_m = jax.tree.map(
@@ -496,19 +479,214 @@ class FusedBio2Engine:
             data,
         )
 
-        tip_slots = np.asarray([g[2] for g in self.ginst])
-
         # ---- init (reference :155-166: all islands start from the seed) --
         genes = to_lanes(
             jnp.broadcast_to(seed_bis[..., None, :], (B, I, S, _P, V))
             .reshape(B, I, S, _P * V)
         )
-        grads = jnp.zeros_like(genes)
         seed_tips_f = ctx.tips_frame(data["seed_full"], seed_active)  # (B,T)
         f0 = p.fitness(
             jnp.concatenate([seed_tips_f.pos, seed_tips_f.quat], -1),
             seed_active, data,
         )                                                        # (B,)
+
+        salt_m = jnp.broadcast_to(
+            _scenario_salt(keys)[:, None], (B, I * S)).reshape(M)
+
+        return dict(
+            B=B, M=M, Mp=Mp, T=T,
+            to_lanes=to_lanes, lane_goal=lane_goal, unlane=unlane,
+            seed_active=seed_active, seed_full=seed_full,
+            seed_bis=seed_bis, seed_full_m=seed_full_m,
+            span=jnp.broadcast_to(p.aspan[:, None], (V, Mp)).astype(dt),
+            cmin=jnp.broadcast_to(p.aclip_min[:, None], (V, Mp)).astype(dt),
+            cmax=jnp.broadcast_to(p.aclip_max[:, None], (V, Mp)).astype(dt),
+            gpos=lane_goal(gpos_b), gquat=lane_goal(gquat_b),
+            gaux_b=gaux_b,
+            wpos=lane_goal(wpos_b), wrot=lane_goal(wrot_b),
+            data_m=data_m, data_bi=data_bi,
+            genes=genes, grads=jnp.zeros_like(genes),
+            seed_tips_f=seed_tips_f, f0=f0,
+            salt_row=jnp.pad(salt_m, (0, Mp - M))[None, :],      # (1, Mp) u32
+        )
+
+    def _mega_prep(self, keys, data):
+        """Megastep-path initial state: ``(state, consts, salt, best)``.
+
+        Solver state lives in the (rows, lanes) kernel layout across the
+        whole solve; incumbents are tracked per LANE in-kernel and
+        :meth:`_eval_lanes` checks every island × species incumbent (a
+        superset of the reference's per-island checks)."""
+        p = self.problem
+        V, I, S = self.sp.V, self.islands, _S
+        dt = jnp.float32
+        ls = self._lane_setup(keys, data)
+        B, Mp, T = ls["B"], ls["Mp"], ls["T"]
+        to_lanes, lane_goal = ls["to_lanes"], ls["lane_goal"]
+        seed_tips_f, f0, seed_bis = ls["seed_tips_f"], ls["f0"], ls["seed_bis"]
+
+        fv = self.fixed_vars
+        if fv:
+            qfix = to_lanes(
+                jnp.broadcast_to(
+                    ls["seed_full"][:, None, None, fv], (B, I, S, len(fv))
+                )
+            ).astype(dt)
+        else:
+            qfix = jnp.zeros((1, Mp), dt)
+
+        amin = jnp.broadcast_to(p.amin[:, None], (V, Mp)).astype(dt)
+        amax = jnp.broadcast_to(p.amax[:, None], (V, Mp)).astype(dt)
+        seed_tips_b = jnp.concatenate(
+            [seed_tips_f.pos, seed_tips_f.quat], -1)          # (B,T,7)
+        sfit_r = jnp.full((1, Mp), jnp.inf, dt)
+        sol_r = to_lanes(seed_bis)                            # (V, Mp)
+        sol_fit_r = to_lanes(
+            jnp.broadcast_to(f0[:, None, None, None], (B, I, S, 1)))
+        sol_tips_r = to_lanes(jnp.broadcast_to(
+            seed_tips_b.reshape(B, 1, 1, T * 7), (B, I, S, T * 7)))
+
+        best = self._eval_lanes(sol_r, sol_fit_r, sol_tips_r, data)
+        state = (ls["genes"], ls["grads"], sfit_r, sol_r, sol_fit_r,
+                 sol_tips_r)
+        consts = (qfix, ls["gpos"], ls["gquat"])
+        if self.has_aux:
+            consts = consts + (lane_goal(ls["gaux_b"]),)
+        consts = consts + (ls["wpos"], ls["wrot"], ls["span"], ls["cmin"],
+                           ls["cmax"], amin, amax)
+        if self.sec_terms:
+            consts = consts + (lane_goal(self._secondary_rows(data, B)),)
+        if self.inkernel_rng:
+            salt = jax.lax.bitcast_convert_type(ls["salt_row"], jnp.int32)
+        else:
+            salt = ls["salt_row"]
+        return state, consts, salt, best
+
+    def _mega_once(self, kc, salt, state, consts):
+        """One megastep launch (= ``steps_per_check`` solver steps) under
+        chunk key ``kc``."""
+        if self.inkernel_rng:
+            seed32 = jax.random.key_data(kc)[..., 0].astype(
+                jnp.int32).reshape(1, 1)
+            return self.mega(seed32, salt, *state, *consts)
+        return self.mega(kc, salt, *state, *consts)
+
+    def _chunk_key(self, c):
+        """Per-chunk PRNG key: one engine-level stream seeded from the
+        STATIC config seed (per-lane independence comes from the lane axis
+        of each draw; per-SCENARIO keys enter via the salt row, so all B
+        entries of ``keys`` are honored)."""
+        master = jax.random.fold_in(
+            jax.random.PRNGKey(self.config.seed), 0x5EED)
+        return jax.random.fold_in(master, c)
+
+    @staticmethod
+    def _merge(best, cand):
+        b_qa, b_fit, b_ok, b_key = best
+        qa, fit, ok, kk = cand
+        take = (ok & ~b_ok) | ((ok == b_ok) & (kk < b_key))
+        return (
+            jnp.where(take[..., None], qa, b_qa),
+            jnp.where(take, fit, b_fit),
+            jnp.where(take, ok, b_ok),
+            jnp.where(take, kk, b_key),
+        )
+
+    def _eval_lanes(self, sol_r, sol_fit_r, sol_tips_r, data):
+        """Winner per scenario among all island × species lane incumbents
+        (reference: ik_parallel.h:220-261): successes ranked by combined
+        fitness when secondary goals exist, failures by primary
+        (api._eval_islands)."""
+        p = self.problem
+        V, T, L = self.sp.V, p.ntips, self.islands * _S
+        B = data["seed_active"].shape[0]
+        M = B * L
+        data_bl = jax.tree.map(
+            lambda x: jnp.broadcast_to(
+                x[:, None], (B, L) + x.shape[1:]
+            ).reshape((B * L,) + x.shape[1:]),
+            data,
+        )
+        qa = sol_r[:, :M].T.reshape(B * L, V)
+        tips = sol_tips_r[:, :M].T.reshape(B * L, T, 7)
+        tf = Frame(pos=tips[..., 0:3], quat=tips[..., 3:7])
+        ok = p.check_solution(tf, qa, data_bl).reshape(B, L)
+        fit = sol_fit_r[:, :M].T.reshape(B, L)
+        if p.has_secondary:
+            fsec = p.fitness_secondary(qa, data_bl).reshape(B, L)
+            rank = jnp.where(ok, fit + fsec, fit)
+        else:
+            rank = fit
+        any_ok = jnp.any(ok, axis=1, keepdims=True)
+        sel = jnp.where(ok == any_ok, rank, jnp.inf)
+        i = jnp.argmin(sel, axis=1)
+        bi = jnp.arange(B)
+        qa = qa.reshape(B, L, V)
+        return qa[bi, i], fit[bi, i], ok[bi, i], rank[bi, i]
+
+    def _mega_result(self, best, data):
+        from .api import IKResult
+
+        qa_w, fit_w, ok_w, _ = best
+        qa_w = self.iksolver._rewrap(qa_w, data["seed_active"])
+        qfull_w = self.ctx.qfull(data["seed_full"], qa_w)
+        return IKResult(q=qfull_w, success=ok_w, fitness=fit_w, qa=qa_w)
+
+    # ------------------------------------------------------------------
+    def _solve_batch(self, keys, data):
+        from .api import IKResult
+
+        p, ctx, cfg = self.problem, self.ctx, self.config
+        V, K, I, S = self.sp.V, self.sp.K, self.islands, _S
+        gens, C = self.sp.gens, self.sp.C
+        dt = jnp.float32
+        merge = self._merge
+
+        if self.fullstep:
+            # ---- megastep path: one kernel launch per acceptance chunk --
+            state, consts, salt, best = self._mega_prep(keys, data)
+            if self.inkernel_rng:
+                # TPU: unroll chunks at trace time — a pallas launch
+                # inside lax.scan reloads the kernel program every
+                # iteration on the tunneled backend (measured ~3.5 ms)
+                for c in range(self.nchecks):
+                    state = self._mega_once(
+                        self._chunk_key(c), salt, state, consts)
+                    best = merge(
+                        best,
+                        self._eval_lanes(state[3], state[4], state[5], data),
+                    )
+            else:
+                # plain-jnp path (CPU tests/fallback): scan compiles the
+                # chunk body once — no pallas inside, no reload issue
+                def chunk_step(carry, c):
+                    state, best = carry
+                    kc = self._chunk_key(c)
+                    state = self._mega_once(kc, salt, state, consts)
+                    best = merge(
+                        best,
+                        self._eval_lanes(state[3], state[4], state[5], data),
+                    )
+                    return (state, best), None
+
+                (state, best), _ = jax.lax.scan(
+                    chunk_step, (state, best), jnp.arange(self.nchecks))
+            return self._mega_result(best, data)
+
+        ls = self._lane_setup(keys, data)
+        B, M, Mp, T = ls["B"], ls["M"], ls["Mp"], ls["T"]
+        to_lanes, lane_goal, unlane = (
+            ls["to_lanes"], ls["lane_goal"], ls["unlane"])
+        seed_bis, seed_full_m = ls["seed_bis"], ls["seed_full_m"]
+        span, cmin, cmax = ls["span"], ls["cmin"], ls["cmax"]
+        gpos, gquat, wpos, wrot = (
+            ls["gpos"], ls["gquat"], ls["wpos"], ls["wrot"])
+        data_m, data_bi = ls["data_m"], ls["data_bi"]
+        genes, grads = ls["genes"], ls["grads"]
+        seed_tips_f, f0 = ls["seed_tips_f"], ls["f0"]
+        salt_row = ls["salt_row"]
+        tip_slots = np.asarray([g[2] for g in self.ginst])
+
         sfit = jnp.full((B, I, S), jnp.inf, dt)
         solution = seed_bis[..., 0, :]                           # (B, I, V)
         sol_fit = jnp.broadcast_to(f0[:, None], (B, I))
@@ -517,120 +695,9 @@ class FusedBio2Engine:
             (B, I, T, 7),
         )
 
-        def unlane(x, R):
-            return x[:, :M].T.reshape(B, I, S, R)
-
-        def merge(best, cand):
-            b_qa, b_fit, b_ok, b_key = best
-            qa, fit, ok, kk = cand
-            take = (ok & ~b_ok) | ((ok == b_ok) & (kk < b_key))
-            return (
-                jnp.where(take[..., None], qa, b_qa),
-                jnp.where(take, fit, b_fit),
-                jnp.where(take, ok, b_ok),
-                jnp.where(take, kk, b_key),
-            )
-
-        if self.fullstep:
-            # ---- megastep path: one kernel launch per acceptance chunk —
-            # solver state stays in the (rows, lanes) kernel layout across
-            # the whole solve; incumbents are tracked per LANE in-kernel
-            # and the winner reduction below checks every island × species
-            # incumbent (a superset of the reference's per-island checks).
-            amin = jnp.broadcast_to(p.amin[:, None], (V, Mp)).astype(dt)
-            amax = jnp.broadcast_to(p.amax[:, None], (V, Mp)).astype(dt)
-            seed_tips_b = jnp.concatenate(
-                [seed_tips_f.pos, seed_tips_f.quat], -1)          # (B,T,7)
-            sfit_r = jnp.full((1, Mp), jnp.inf, dt)
-            sol_r = to_lanes(seed_bis)                            # (V, Mp)
-            sol_fit_r = to_lanes(
-                jnp.broadcast_to(f0[:, None, None, None], (B, I, S, 1)))
-            sol_tips_r = to_lanes(jnp.broadcast_to(
-                seed_tips_b.reshape(B, 1, 1, T * 7), (B, I, S, T * 7)))
-
-            L = I * S
-            data_bl = jax.tree.map(
-                lambda x: jnp.broadcast_to(
-                    x[:, None], (B, L) + x.shape[1:]
-                ).reshape((B * L,) + x.shape[1:]),
-                data,
-            )
-
-            def eval_lanes(sol_r, sol_fit_r, sol_tips_r):
-                """Winner per scenario among all island × species lane
-                incumbents (reference: ik_parallel.h:220-261): successes
-                ranked by combined fitness when secondary goals exist,
-                failures by primary (api._eval_islands)."""
-                qa = unlane(sol_r, V).reshape(B * L, V)
-                tips = unlane(sol_tips_r, T * 7).reshape(B * L, T, 7)
-                tf = Frame(pos=tips[..., 0:3], quat=tips[..., 3:7])
-                ok = p.check_solution(tf, qa, data_bl).reshape(B, L)
-                fit = unlane(sol_fit_r, 1).reshape(B, L)
-                if p.has_secondary:
-                    fsec = p.fitness_secondary(qa, data_bl).reshape(B, L)
-                    rank = jnp.where(ok, fit + fsec, fit)
-                else:
-                    rank = fit
-                any_ok = jnp.any(ok, axis=1, keepdims=True)
-                sel = jnp.where(ok == any_ok, rank, jnp.inf)
-                i = jnp.argmin(sel, axis=1)
-                bi = jnp.arange(B)
-                qa = qa.reshape(B, L, V)
-                return qa[bi, i], fit[bi, i], ok[bi, i], rank[bi, i]
-
-            best = eval_lanes(sol_r, sol_fit_r, sol_tips_r)
-            # one engine-level chunk-key stream seeded from the STATIC
-            # config seed (per-lane independence comes from the lane axis
-            # of each draw; per-SCENARIO keys enter via the salt row, so
-            # all B entries of ``keys`` are honored)
-            master = jax.random.fold_in(
-                jax.random.PRNGKey(self.config.seed), 0x5EED)
-            salt_m = jnp.broadcast_to(
-                _scenario_salt(keys)[:, None], (B, I * S)).reshape(M)
-            salt_row = jnp.pad(salt_m, (0, Mp - M))[None, :]   # (1, Mp) u32
-            state = (genes, grads, sfit_r, sol_r, sol_fit_r, sol_tips_r)
-            consts = (qfix, gpos, gquat)
-            if self.has_aux:
-                consts = consts + (lane_goal(gaux_b),)
-            consts = consts + (wpos, wrot, span, cmin, cmax, amin, amax)
-            if self.sec_terms:
-                consts = consts + (lane_goal(self._secondary_rows(data, B)),)
-            if self.inkernel_rng:
-                salt_i32 = jax.lax.bitcast_convert_type(salt_row, jnp.int32)
-                # TPU: unroll chunks at trace time — a pallas launch
-                # inside lax.scan reloads the kernel program every
-                # iteration on the tunneled backend (measured ~3.5 ms)
-                for c in range(self.nchecks):
-                    kc = jax.random.fold_in(master, c)
-                    seed32 = jax.random.key_data(kc)[..., 0].astype(
-                        jnp.int32).reshape(1, 1)
-                    state = self.mega(seed32, salt_i32, *state, *consts)
-                    best = merge(best,
-                                 eval_lanes(state[3], state[4], state[5]))
-            else:
-                # plain-jnp path (CPU tests/fallback): scan compiles the
-                # chunk body once — no pallas inside, no reload issue
-                def chunk_step(carry, c):
-                    state, best = carry
-                    kc = jax.random.fold_in(master, c)
-                    state = self.mega(kc, salt_row, *state, *consts)
-                    best = merge(
-                        best, eval_lanes(state[3], state[4], state[5]))
-                    return (state, best), None
-
-                (state, best), _ = jax.lax.scan(
-                    chunk_step, (state, best), jnp.arange(self.nchecks))
-            qa_w, fit_w, ok_w, _ = best
-            qa_w = self.iksolver._rewrap(qa_w, data["seed_active"])
-            qfull_w = ctx.qfull(data["seed_full"], qa_w)
-            return IKResult(q=qfull_w, success=ok_w, fitness=fit_w, qa=qa_w)
-
         # ---- one fused step (species-kernel path: floating/planar
         # chains keep the XLA linearizer between launches) --------------
-        salt_b = _scenario_salt(keys)                            # (B,) u32
-        salt_m = jnp.broadcast_to(salt_b[:, None], (B, I * S)).reshape(M)
-        salt_row = jnp.pad(salt_m, (0, Mp - M))[None, :]         # (1, Mp)
-        salt_bi = jnp.broadcast_to(salt_b[:, None], (B, I))
+        salt_bi = jnp.broadcast_to(_scenario_salt(keys)[:, None], (B, I))
         gm = self.config.gauss_mode
         if self.sec_terms:
             sec_rows = lane_goal(self._secondary_rows(data, B))  # (8V, Mp)
@@ -774,3 +841,53 @@ class FusedBio2Engine:
     # ------------------------------------------------------------------
     def solve_batch(self, keys, data):
         return self._solve_jit(keys, data)
+
+    # ------------------------------------------------------------------
+    def solve_until(self, key, data, timeout_s=None, max_checks=None):
+        """Latency mode on the megastep path: ONE kernel launch per
+        ``steps_per_check`` chunk, host-polled early exit, optional
+        wall-clock deadline — the direct analog of the reference's "best
+        accepted solution within ``timeout`` seconds" contract
+        (reference: kinematics_plugin.cpp:506-507, ik_parallel.h:160-168).
+
+        ``key``/``data`` are a single unbatched query.  When ``timeout_s``
+        is given it REPLACES the step budget (chunks run until acceptance
+        or the deadline); otherwise ``config.max_steps`` caps the run.
+        Returns ``(IKResult, steps_run)`` with unbatched leaves.
+        """
+        import time as _time
+
+        if not self.fullstep:
+            raise ValueError(
+                "solve_until latency mode needs the megastep kernel tier")
+        if not hasattr(self, "_until_fns"):
+            def chunk_fn(kc, salt, state, consts, best, data):
+                state = self._mega_once(kc, salt, state, consts)
+                cand = self._eval_lanes(
+                    state[3], state[4], state[5], data)
+                return state, self._merge(best, cand)
+
+            self._until_fns = (
+                jax.jit(self._mega_prep),
+                jax.jit(chunk_fn),
+                jax.jit(self._mega_result),
+            )
+        prep, chunk, result = self._until_fns
+        t0 = _time.perf_counter()
+        deadline = None if timeout_s is None else t0 + timeout_s
+        keys = key[None]
+        dataB = jax.tree.map(lambda x: x[None], data)
+        state, consts, salt, best = prep(keys, dataB)
+        if max_checks is None:
+            max_checks = self.nchecks if timeout_s is None else (1 << 30)
+        steps = 0
+        for c in range(max_checks):
+            state, best = chunk(
+                self._chunk_key(c), salt, state, consts, best, dataB)
+            steps += self.spc
+            if bool(best[2][0]):      # success flag — host-side early exit
+                break
+            if deadline is not None and _time.perf_counter() >= deadline:
+                break
+        res = result(best, dataB)
+        return jax.tree.map(lambda x: x[0], res), steps

@@ -1,8 +1,9 @@
 #!/bin/bash
-# Run the test suite on a virtual 8-device CPU platform WITHOUT claiming the
-# single tunneled TPU chip (the axon sitecustomize claims it at interpreter
-# start for every python process unless PALLAS_AXON_POOL_IPS is unset; a
-# concurrent TPU bench/verify run would otherwise fail to register).
+# Run the test suite on a virtual 8-device CPU platform so sharding tests
+# get a multi-device mesh and any attached accelerator stays free for a
+# concurrently running benchmark (JAX_PLATFORMS=cpu keeps pytest off it;
+# unsetting the pool variable below disables any site-configured
+# accelerator auto-attach hook — a no-op where none exists).
 #
 # Default run excludes tests marked `slow` (pyproject addopts); pass
 # `-m ''` to run the complete suite:  ./run_tests.sh tests/ -m ''

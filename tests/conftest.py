@@ -1,9 +1,9 @@
 """Test configuration: force an 8-device virtual CPU platform.
 
-The environment pins ``JAX_PLATFORMS=axon`` (a tunneled single TPU chip)
-via sitecustomize, so plain env vars are not enough — we must override the
-config after importing jax but before any backend is instantiated.
-Multi-chip sharding tests then run on the 8 virtual CPU devices.
+Environments that pin a default accelerator platform (e.g. via
+sitecustomize) make plain env vars insufficient — we override the config
+after importing jax but before any backend is instantiated.  Multi-chip
+sharding tests then run on the 8 virtual CPU devices.
 """
 
 import os
