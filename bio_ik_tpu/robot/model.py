@@ -68,9 +68,12 @@ class VariableBounds:
 class RobotModel:
     """Static kinematic structure + bounds compiled from a URDF."""
 
-    def __init__(self, urdf: UrdfRobot, dtype=np.float32):
+    def __init__(self, urdf: UrdfRobot, dtype=np.float32, base_dir=None):
         self.name = urdf.name
         self.dtype = dtype
+        # directory for resolving relative mesh filenames in collision
+        # elements (set by from_urdf_file)
+        self.base_dir = base_dir
 
         # ---- topological re-indexing (root = link 0) --------------------
         joint_by_child: Dict[str, int] = {}
@@ -226,7 +229,10 @@ class RobotModel:
     # -------------------------------------------------------------- API --
     @classmethod
     def from_urdf_file(cls, path: str, dtype=np.float32) -> "RobotModel":
-        return cls(load_urdf(path), dtype=dtype)
+        import os
+
+        return cls(load_urdf(path), dtype=dtype,
+                   base_dir=os.path.dirname(os.path.abspath(path)))
 
     @classmethod
     def from_urdf_string(cls, xml_text: str, dtype=np.float32) -> "RobotModel":
@@ -240,6 +246,24 @@ class RobotModel:
     def nvars(self) -> int:
         return len(self.var_names)
 
+    def _resolve_mesh_path(self, filename: str) -> str:
+        """Resolve a URDF mesh filename: absolute paths pass through;
+        ``package://<pkg>/rest`` and plain relative paths resolve against
+        the URDF file's directory (best effort without a ROS package
+        index — the common single-package layout)."""
+        import os
+
+        if filename.startswith("package://"):
+            rest = filename[len("package://"):]
+            filename = rest.split("/", 1)[1] if "/" in rest else rest
+        if os.path.isabs(filename):
+            return filename
+        if self.base_dir is None:
+            raise ValueError(
+                f"cannot resolve relative mesh path {filename!r}: model "
+                "was not loaded from a file (no base directory)")
+        return os.path.join(self.base_dir, filename)
+
     def collision_points(self, link_name: str, ring: int = 8,
                          sphere_points: int = 42) -> np.ndarray:
         """Convex support point cloud of the link's URDF collision
@@ -250,14 +274,19 @@ class RobotModel:
 
         Boxes contribute their 8 corners (exact support set), cylinders
         two ``ring``-point end rings (chordal approximation), spheres a
-        ``sphere_points`` Fibonacci sampling of the surface.  Shape
-        origins are applied.  Raises if the link has no primitive
-        collision geometry.
+        ``sphere_points`` Fibonacci sampling of the surface.  Meshes
+        (STL, ``<mesh filename=...>``) are loaded and reduced to their
+        convex-hull vertex set — the EXACT support set of the hull,
+        matching the reference's FCL convex-mesh handling
+        (goal_types.cpp:45-228; its support-vertex hill-climb over hull
+        edges returns the same extreme vertex a min/max over hull
+        vertices does).  Shape origins and mesh scales are applied.
+        Raises if the link has no collision geometry.
         """
         shapes = self.collisions.get(link_name)
         if not shapes:
             raise ValueError(
-                f"link {link_name!r} has no primitive collision geometry "
+                f"link {link_name!r} has no collision geometry "
                 "in the URDF (TouchGoal needs explicit `points` for it)"
             )
         out = []
@@ -286,7 +315,13 @@ class RobotModel:
                     np.sin(theta) * np.sin(phi),
                     np.cos(phi),
                 ], axis=-1)
-            else:  # pragma: no cover — parser only emits the three above
+            elif s.shape == "mesh":
+                from .mesh import convex_hull_vertices, load_stl
+
+                pts = convex_hull_vertices(
+                    load_stl(self._resolve_mesh_path(s.filename)))
+                pts = pts * np.asarray(s.size)  # per-axis URDF scale
+            else:  # pragma: no cover — parser only emits the four above
                 raise ValueError(f"unsupported collision shape {s.shape!r}")
             x, y, z, w = _rpy_to_quat(*s.origin_rpy)
             R = np.array([

@@ -57,16 +57,19 @@ class UrdfJoint:
 
 @dataclass
 class UrdfCollision:
-    """One primitive collision shape of a link, in link coordinates.
+    """One collision shape of a link, in link coordinates.
 
-    ``shape`` ∈ {"box", "cylinder", "sphere"}; ``size`` holds (sx,sy,sz)
-    for boxes, (radius, length) for cylinders, (radius,) for spheres.
+    ``shape`` ∈ {"box", "cylinder", "sphere", "mesh"}; ``size`` holds
+    (sx,sy,sz) for boxes, (radius, length) for cylinders, (radius,) for
+    spheres, and the (sx,sy,sz) scale factors for meshes (``filename``
+    then references the mesh file).
     """
 
     shape: str
     size: Tuple[float, ...]
     origin_xyz: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     origin_rpy: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    filename: Optional[str] = None
 
 
 @dataclass
@@ -130,8 +133,14 @@ def parse_urdf(xml_text: str) -> UrdfRobot:
             elif (sph := geom_el.find("sphere")) is not None:
                 shape = UrdfCollision("sphere",
                                       (float(sph.get("radius", "0")),))
+            elif (msh := geom_el.find("mesh")) is not None and msh.get(
+                    "filename"):
+                scale = (_floats(msh.get("scale"))
+                         if msh.get("scale") else (1.0, 1.0, 1.0))
+                shape = UrdfCollision("mesh", scale,
+                                      filename=msh.get("filename"))
             if shape is None:
-                continue  # mesh / unknown geometry: skip (module docstring)
+                continue  # unknown geometry: skip
             origin_el = col_el.find("origin")
             if origin_el is not None:
                 if origin_el.get("xyz"):

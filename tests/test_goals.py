@@ -161,6 +161,63 @@ def test_touch_goal_auto_collision_surface(arm, rng):
         assert i_native == int(np.argmin(sd))
 
 
+def test_touch_goal_mesh_collision_surface(arm, rng):
+    """TouchGoal surfaces auto-derive from STL ``<mesh>`` collision
+    elements: the mesh is loaded, reduced to its convex-hull vertex set
+    (the exact support set — reference: FCL convex meshes with a
+    support-vertex search, goal_types.cpp:45-228), and evaluated with
+    the same point-cloud machinery as the primitives."""
+    link = "r_wrist_roll_link"
+    pts = arm.collision_points(link)
+    # the fingertip wedge STL has 8 hull vertices, offset by the
+    # collision origin (0.14, 0, 0)
+    assert pts.shape == (8, 3)
+    assert abs(pts[:, 0].min() - 0.14) < 1e-6   # STL stores float32
+    assert abs(pts[:, 0].max() - 0.185) < 1e-6
+
+    q = random_q(arm, rng)
+    pos, rot = tip_pose(arm, q, link=link)
+    normal = np.array([0.0, 0.0, 1.0])
+    plane_pos = np.array([0.0, 0.0, -0.5])
+    f, _, _, _ = eval_fitness(
+        arm, [G.TouchGoal(link=link, position=tuple(plane_pos),
+                          normal=tuple(normal))], q
+    )
+    world = pos + rot.apply(pts)
+    sd = (world - plane_pos) @ normal
+    np.testing.assert_allclose(f, np.min(sd) ** 2, rtol=1e-3, atol=1e-7)
+
+    from bio_ik_tpu import native
+
+    if native.available():
+        # the hull-vertex min IS the exact convex support: cross-check
+        # against the native support-vertex oracle on many directions
+        gen = np.random.default_rng(5)
+        for d in gen.normal(size=(16, 3)):
+            i_native = native.support_point(pts, d)
+            assert np.dot(pts[i_native], d) >= np.max(pts @ d) - 1e-12
+
+
+def test_touch_goal_mesh_solves(arm, rng):
+    """End-to-end: solve a TouchGoal whose surface comes from the
+    gripper mesh — the deepest hull vertex lands on the plane."""
+    from bio_ik_tpu.api import IKSolver
+
+    link = "r_wrist_roll_link"
+    pts = arm.collision_points(link)
+    s = IKSolver(
+        arm,
+        [G.TouchGoal(link=link, position=(0.55, -0.6, 0.2),
+                     normal=(0.0, 0.0, 1.0))],
+        SolverConfig(mode="bio2_memetic", max_steps=8, dtwist=1e-3),
+    )
+    res = s.solve(jnp.asarray(arm.neutral_q()), key=jax.random.PRNGKey(3))
+    pos, rot = tip_pose(arm, np.asarray(res.q), link=link)
+    sd = (pos + rot.apply(pts) - np.array([0.55, -0.6, 0.2])) @ np.array(
+        [0.0, 0.0, 1.0])
+    assert abs(np.min(sd)) < 5e-3, (np.min(sd), bool(res.success))
+
+
 def test_touch_goal(arm, rng):
     q = random_q(arm, rng)
     pos, rot = tip_pose(arm, q)

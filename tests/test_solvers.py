@@ -383,3 +383,34 @@ def test_test_mode_reports_approx_error(arm, arm_fk, rng):
     assert float(state.rot_err) < 5e-2, float(state.rot_err)
     st2 = s.solver.step(state, s.make_data(seed))
     np.testing.assert_array_equal(np.asarray(st2.qa), np.asarray(state.qa))
+
+
+def test_triangular_selection_distribution():
+    """Histogram of the triangular parent-selection distribution matches
+    the expected weights — the counterpart of the reference's own
+    linear_int_distribution unit test (reference: test/utest.cpp:83-111,
+    1M samples vs weights n−i).  Also covers the masked shrinking-pool
+    case (reference: survivor-pool removal, ik_evolution_1.cpp:518-533),
+    which the reference's scalar distribution cannot express."""
+    from bio_ik_tpu.solvers.bio1 import _triangular_pick
+
+    n, iters = 8, 200_000
+    keys = jax.random.split(jax.random.PRNGKey(0), iters)
+
+    # full pool: weight of rank i is n - i
+    mask = jnp.ones((n,), bool)
+    picks = jax.jit(jax.vmap(lambda k: _triangular_pick(k, mask)))(keys)
+    v = np.bincount(np.asarray(picks), minlength=n) / iters
+    r = np.arange(n, 0, -1, dtype=np.float64)
+    r /= r.sum()
+    np.testing.assert_allclose(v, r, atol=0.004)    # ~4 sigma at 200k
+
+    # masked pool: only entries {1, 3, 4, 6} selectable; their weights
+    # follow the triangular law over the ACTIVE ranks (4, 3, 2, 1)
+    mask2 = jnp.asarray([False, True, False, True, True, False, True, False])
+    picks2 = jax.jit(jax.vmap(lambda k: _triangular_pick(k, mask2)))(keys)
+    counts = np.bincount(np.asarray(picks2), minlength=n) / iters
+    assert counts[~np.asarray(mask2)].sum() == 0.0  # never an inactive pick
+    want = np.zeros(n)
+    want[[1, 3, 4, 6]] = np.array([4.0, 3.0, 2.0, 1.0]) / 10.0
+    np.testing.assert_allclose(counts, want, atol=0.004)
