@@ -104,7 +104,11 @@ class AdaptiveBatchSolver:
             )
             res = IKResult(
                 q=res.q.at[idx].set(jnp.where(take[:, None], sub.q, res.q[idx])),
-                success=res.success.at[idx].set(take | res.success[idx]),
+                # adopt the retry's OWN success flag when taking it — a
+                # better-fitness failure must not be promoted to success
+                success=res.success.at[idx].set(
+                    jnp.where(take, sub.success, res.success[idx])
+                ),
                 fitness=res.fitness.at[idx].set(
                     jnp.where(take, sub.fitness, res.fitness[idx])
                 ),

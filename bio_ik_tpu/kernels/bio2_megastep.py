@@ -53,7 +53,7 @@ _WIPEOUT_P = 0.1  # reference: ik_evolution_2.cpp:632
 
 def make_megastep_body(model, tip_links, active_vars, inst_tip,
                        sp: SpeciesParams, n_steps: int, *, use_pltpu_roll,
-                       sec_terms=(), inst_kind=None):
+                       sec_terms=(), inst_kind=None, unroll=False):
     """Build the chunk body over ``(rows, N)`` arrays.
 
     Returns ``(body, F)``; ``body(state, consts, draw)`` advances the
@@ -155,10 +155,15 @@ def make_megastep_body(model, tip_links, active_vars, inst_tip,
 
             return genes, grads, fit, sol, sol_fit, sol_tips
 
-        return jax.lax.fori_loop(
-            0, n_steps, step,
-            (genes0, grads0, sfit0, sol0, sol_fit0, sol_tips0),
-        )
+        carry0 = (genes0, grads0, sfit0, sol0, sol_fit0, sol_tips0)
+        if unroll:
+            # static step indices — needed when ``draw`` slices noise
+            # tensors (Mosaic has no dynamic_slice lowering)
+            carry = carry0
+            for si in range(n_steps):
+                carry = step(si, carry)
+            return carry
+        return jax.lax.fori_loop(0, n_steps, step, carry0)
 
     return body, F
 
@@ -198,6 +203,10 @@ def make_megastep_kernel(model, tip_links, active_vars, inst_tip,
         model, tip_links, active_vars, inst_tip, sp, n_steps,
         use_pltpu_roll=not interpret, sec_terms=sec_terms,
         inst_kind=inst_kind,
+        # noise-tensor mode slices the noise stack per step — Mosaic has
+        # no dynamic_slice lowering, so the step loop unrolls with
+        # static indices there
+        unroll=not inkernel_rng,
     )
     secondary = bool(sec_terms)
     has_aux = bool(inst_kind) and any(k in AUX_KINDS for k in inst_kind)
@@ -242,17 +251,15 @@ def make_megastep_kernel(model, tip_links, active_vars, inst_tip,
             noise_ref, rates_ref, wu_ref, wg_ref = rng_refs[:4]
 
             def draw(i):
+                # i is a python int (unrolled body) — static slices only
                 g0 = i * sp.gens
-                noise = jax.lax.dynamic_slice_in_dim(
-                    noise_ref[:], g0, sp.gens, axis=0)
-                rates = jax.lax.dynamic_slice_in_dim(
-                    rates_ref[:], g0, sp.gens, axis=0)
+                noise = noise_ref[:][g0:g0 + sp.gens]
+                rates = rates_ref[:][g0:g0 + sp.gens]
                 keep = None
                 if secondary:
-                    keep = jax.lax.dynamic_slice_in_dim(
-                        rng_refs[4][:], g0, sp.gens, axis=0)
-                wu = jax.lax.dynamic_slice_in_dim(wu_ref[:], i, 1, axis=0)[0]
-                wg = jax.lax.dynamic_slice_in_dim(wg_ref[:], i, 1, axis=0)[0]
+                    keep = rng_refs[4][:][g0:g0 + sp.gens]
+                wu = wu_ref[:][i]
+                wg = wg_ref[:][i]
                 return array_draw_gen(noise, rates, keep), wu, wg
 
             out = body(tuple(r[:] for r in state_refs),

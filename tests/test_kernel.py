@@ -130,6 +130,36 @@ def test_engine_supports_classification(arm):
     assert FusedBio2Engine.supports(s5) is not None
 
 
+def test_engine_smoke_deterministic(arm, arm_fk, rng):
+    """Fast-tier engine round trip: 2 fused steps, B=2 — covers the
+    engine path end-to-end at minimal XLA:CPU compile cost (the full
+    16-step convergence round trips live in the slow tier)."""
+    B = 2
+    cfg = SolverConfig(mode="bio2_memetic", max_steps=2, steps_per_check=2,
+                       dtwist=1e-3)
+    s = IKSolver(arm, [G.PoseGoal(link=TIP)], cfg)
+    assert s.engine is not None
+    qg = random_q(arm, rng, B)
+    tg = arm_fk(jnp.asarray(qg))
+    data0 = s.make_data(jnp.asarray(arm.neutral_q()))
+    data = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), data0)
+    data["primary"][0]["position"] = tg.pos
+    data["primary"][0]["orientation"] = tg.quat
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    res = s.solve_batch(keys, data)
+    assert res.q.shape == (B, arm.nvars)
+    assert np.all(np.isfinite(np.asarray(res.fitness)))
+    # two steps must improve on the seed fitness
+    f0 = np.asarray(s.problem.fitness(
+        jnp.concatenate([arm_fk(data["seed_full"]).pos,
+                         arm_fk(data["seed_full"]).quat], -1),
+        data["seed_active"], data))
+    assert np.all(np.asarray(res.fitness) <= f0 + 1e-6)
+    res2 = s.solve_batch(keys, data)
+    np.testing.assert_array_equal(np.asarray(res.q), np.asarray(res2.q))
+
+
+@pytest.mark.slow
 def test_engine_solves_and_is_deterministic(arm, arm_fk, rng):
     B = 8
     cfg = SolverConfig(mode="bio2_memetic", max_steps=16, dtwist=1e-3)
@@ -154,6 +184,7 @@ def test_engine_solves_and_is_deterministic(arm, arm_fk, rng):
     np.testing.assert_array_equal(np.asarray(res.q), np.asarray(res2.q))
 
 
+@pytest.mark.slow
 def test_engine_respects_position_only_goals(arm, arm_fk, rng):
     """Position and orientation goal groups fold into the fused fitness
     with the right weight rows (wrot = 0 / wpos = 0)."""
@@ -330,6 +361,7 @@ def test_megastep_body_matches_pallas_interpret(arm):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
 
 
+@pytest.mark.slow
 def test_megastep_secondary_matches_pallas_interpret(arm):
     """Secondary-goal megastep (pre-selection + combined memetic) —
     Pallas interpret vs plain-jnp body, bitwise."""
@@ -413,6 +445,7 @@ def test_megastep_secondary_matches_pallas_interpret(arm):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
 
 
+@pytest.mark.slow
 def test_megastep_aux_kinds_match_pallas_interpret(arm):
     """Non-pose goal-kind megastep (lookat/line/plane/distance/direction/
     side errors + partial gradients) — Pallas interpret vs plain-jnp
@@ -490,6 +523,7 @@ def test_megastep_aux_kinds_match_pallas_interpret(arm):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
 
 
+@pytest.mark.slow
 def test_engine_solves_lookat(arm, arm_fk, rng):
     """A pose + lookat problem keeps the fused path and converges to the
     same quality as the vmapped evaluator's math (both use the
@@ -527,6 +561,7 @@ def test_engine_solves_lookat(arm, arm_fk, rng):
     assert np.median(ang) < 10.0, ang
 
 
+@pytest.mark.slow
 def test_engine_solves_with_secondary_goals(arm, arm_fk, rng):
     """The reference's recommended regularizer config (pose +
     MinimalDisplacement + AvoidJointLimits, kinematics_plugin.cpp:286-329)
@@ -556,6 +591,7 @@ def test_engine_solves_with_secondary_goals(arm, arm_fk, rng):
     assert np.median(errs) < 1e-2, errs
 
 
+@pytest.mark.slow
 def test_engine_honors_per_scenario_keys(arm, arm_fk, rng):
     """solve_batch on the ENGINE path must honor each entry of ``keys``:
     changing keys[i] re-randomizes scenario i only; identical keys
@@ -600,6 +636,7 @@ def test_engine_uses_fullstep_for_pr2(arm):
     assert s.engine is not None and s.engine.fullstep
 
 
+@pytest.mark.slow
 def test_adaptive_on_device_pipeline(arm, arm_fk, rng):
     """Single-program multi-phase retry with on-device failure compaction."""
     from bio_ik_tpu.api import AdaptiveBatchSolver
