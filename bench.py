@@ -58,15 +58,18 @@ def run_bench():
 
     # adaptive multi-phase batching: full-budget pass over everything,
     # then failure-compacted retries with bigger island counts (see
-    # api.py); phase budgets sized to the measured per-step success
-    # decay (16 steps ⇒ ~90 % solved; phase 1 retries the worst 25 %,
-    # phase 2 the worst 5 % — ≥2× headroom over the measured residual
-    # failure rates; r4 sweep: (1,16),(2,16),(4,48) beats the r3
-    # (1,16),(2,24),(4,64) by ~15 % at identical 100 % success)
+    # api.py); phase budgets sized to the measured HONEST per-step
+    # success decay (24 steps ⇒ 89 % solved; +2-island/32-step retry of
+    # the worst 15 % ⇒ 99.5 %; +4-island/64-step retry of the worst 3 %
+    # ⇒ 99.99 %; +8-island/32-step fresh-randomness retry of the worst
+    # 0.8 % ⇒ 100.00 % — r5 sweep after the retry-success accounting fix
+    # in api.py demoted better-fitness-but-failed retries; the r4
+    # schedule (1,16),(2,16),(4,48) measures 93 % honest)
     cfg = SolverConfig(mode="bio2_memetic", dtwist=1e-3)
     s = AdaptiveBatchSolver(
         m, [G.PoseGoal(link=tip)], cfg,
-        phases=((1, 16), (2, 16), (4, 48)), fractions=(0.25, 0.05),
+        phases=((1, 24), (2, 32), (4, 64), (8, 32)),
+        fractions=(0.15, 0.03, 0.008),
     )
     data0 = s.make_data(jnp.asarray(m.neutral_q()))
     data = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), data0)
@@ -105,7 +108,7 @@ def run_bench():
                 "vs_baseline": round(solves_per_sec / REFERENCE_SOLVES_PER_SEC, 3),
                 "success_rate": round(success, 4),
                 "batch": B,
-                "phases": "1x16,2x16,4x48 adaptive",
+                "phases": "1x24,2x32,4x64,8x32 adaptive",
                 "batch_time_ms": round(dt * 1e3, 2),
                 "median_pos_err_m": float(np.median(perr)),
                 "device": str(jax.devices()[0]),

@@ -166,14 +166,27 @@ def main():
         SolverConfig(mode="bio2_memetic", dtwist=1e-3), 1e-3,
     )
     # BASELINE.json config 4b: 30-DOF branching humanoid, 3 simultaneous
-    # tips (whole-body `all`-group analog) — fused fullstep tier
+    # tips (whole-body `all`-group analog) — fused fullstep tier with
+    # adaptive retry escalation (reference's 20 ms whole-body analog,
+    # reference README.md:89-101): 1 cm tolerance at >=0.99 success
     run_config(
         "humanoid_whole_body", "humanoid.urdf", ["r_hand", "l_hand", "head"],
         [G.PoseGoal(link="r_hand"), G.PoseGoal(link="l_hand"),
          G.PoseGoal(link="head")],
-        SolverConfig(mode="bio2_memetic", dpos=5e-2, dtwist=float("inf"),
-                     max_steps=32),
-        5e-2, batch=min(B, 1024), adaptive=False,
+        SolverConfig(mode="bio2_memetic", dpos=1e-2, dtwist=float("inf")),
+        1e-2, batch=min(B, 1024),
+        phases=((1, 32), (2, 64), (4, 128), (8, 128)),
+    )
+    # millimeter-class whole-body: same 3-tip 30-DOF problem at 1 mm —
+    # deeper retry ladder with tail-sized retry fractions
+    run_config(
+        "humanoid_whole_body_mm", "humanoid.urdf", ["r_hand", "l_hand", "head"],
+        [G.PoseGoal(link="r_hand"), G.PoseGoal(link="l_hand"),
+         G.PoseGoal(link="head")],
+        SolverConfig(mode="bio2_memetic", dpos=1e-3, dtwist=float("inf")),
+        1e-3, batch=min(B, 1024),
+        phases=((1, 32), (2, 64), (4, 128), (8, 256), (8, 256), (8, 256)),
+        fractions=(0.75, 0.3, 0.2, 0.15, 0.12),
     )
     # the reference's RECOMMENDED production config (pose + minimal-
     # displacement + avoid-joint-limits regularizers, kinematics_plugin
