@@ -90,7 +90,13 @@ def test_graft_entry_compiles():
     assert np.all(np.isfinite(np.asarray(out.fitness)))
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
+    # the 8-device shard_map SPMD compile of the full dryrun takes tens
+    # of minutes on a 2-core XLA:CPU box (the driver runs
+    # ``dryrun_multichip`` itself every round — MULTICHIP_r0N.json — so
+    # the default tier does not repeat it; the lighter island/batch
+    # sharding paths above stay in the default tier)
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __graft_entry__ as ge
