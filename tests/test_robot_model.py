@@ -129,5 +129,5 @@ def test_collision_geometry_parsing_and_points():
     np.testing.assert_allclose(
         np.linalg.norm(sph - np.array([0, 0, 0.5]), axis=-1), 0.1, atol=1e-6)
     # link without collision geometry raises
-    with pytest.raises(ValueError, match="no primitive collision"):
+    with pytest.raises(ValueError, match="no collision geometry"):
         m.collision_points("base")

@@ -157,6 +157,11 @@ def main():
     for mode, steps, extra in [
         ("bio1", 64, ()),
         ("bio1", 256, ()),
+        # 1024 generations reproduces the reference's own 20 ms bio1
+        # success EXACTLY (0.9219 vs its 0.922 on this target set — see
+        # the reference-anchor table in BENCHMARKS.md) at 150× lower
+        # median error
+        ("bio1", 1024, ()),
         ("bio1", 64, (("linear_fitness", True),)),
         ("jac_4", 32, ()),
     ]:
