@@ -111,6 +111,9 @@ def run_bench():
                 "phases": "1x24,2x32,4x64,8x32 adaptive",
                 "batch_time_ms": round(dt * 1e3, 2),
                 "median_pos_err_m": float(np.median(perr)),
+                "note": ("r5: honest success accounting (r4's 451k@1.0 "
+                         "was 93% honest after the retry-merge fix; see "
+                         "BENCHMARKS.md)"),
                 "device": str(jax.devices()[0]),
             }
         )

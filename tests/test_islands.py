@@ -55,6 +55,9 @@ def test_island_sharded_solve(setup, rng):
     assert float(res.fitness) < seed_fit
 
 
+@pytest.mark.slow  # ~6-7 min shard_map compile on a 2-core CPU box;
+#   the same machinery runs every round in the driver dryrun and in
+#   test_island_sharded_solve (kept in the default tier)
 def test_batch_sharded_solve(setup, rng):
     m, fk, s = setup
     B = 16
@@ -104,6 +107,9 @@ def test_graft_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow  # ~6-7 min shard_map compile on a 2-core CPU box;
+#   the same machinery runs every round in the driver dryrun and in
+#   test_island_sharded_solve (kept in the default tier)
 def test_island_sharded_solve_with_migration(setup, rng):
     """Elite migration over the mesh (Solver.inject + all_gather between
     chunks) — island-model extension of SURVEY §5.8."""
@@ -152,6 +158,9 @@ def test_make_pod_mesh_helpers():
     assert s == slice(0, 64)  # single-process: whole batch
 
 
+@pytest.mark.slow  # ~6-7 min shard_map compile on a 2-core CPU box;
+#   the same machinery runs every round in the driver dryrun and in
+#   test_island_sharded_solve (kept in the default tier)
 def test_batch_sharded_solve_engine_path(setup, rng):
     """Engine-routed scenario sharding (fused kernel per device shard)."""
     m, fk, s = setup
