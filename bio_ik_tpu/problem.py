@@ -504,21 +504,29 @@ def _build_touch(problem, items):
     grp = _simple_group(
         items, position=lambda g: g.position, normal=lambda g: _norm(g.normal)
     )
-    # surface clouds: explicit points, or derived from the link's URDF
-    # collision primitives (reference: goal_types.cpp:45-228 derives
-    # them from the MoveIt/FCL collision model automatically)
+    # surface clouds: explicit points (radius 0), or a support set with
+    # per-point radii derived from the link's URDF collision geometry
+    # (reference: goal_types.cpp:45-228 derives it from the MoveIt/FCL
+    # collision model automatically) — spheres enter as ONE center point
+    # with radius=r, making their support EXACT (see
+    # RobotModel.collision_support)
     clouds = [
-        np.asarray(g.points, np.float64)
-        if g.points else problem.model.collision_points(g.link)
+        (np.asarray(g.points, np.float64),
+         np.zeros(len(g.points)))
+        if g.points else problem.model.collision_support(g.link)
         for g, _ in items
     ]
     # pad per-goal point clouds to a common length
-    maxp = max(len(c) for c in clouds)
+    maxp = max(len(c) for c, _ in clouds)
     pts = np.zeros((len(items), maxp, 3))
-    for i, p in enumerate(clouds):
+    rad = np.zeros((len(items), maxp))
+    for i, (p, r) in enumerate(clouds):
         pts[i, : len(p)] = p
-        pts[i, len(p) :] = p[-1]  # pad with last point (no effect on min)
+        pts[i, len(p):] = p[-1]  # pad with last point (no effect on min)
+        rad[i, : len(p)] = r
+        rad[i, len(p):] = r[-1]
     grp.params["points"] = pts
+    grp.params["radii"] = rad
     return [grp]
 
 
@@ -528,7 +536,10 @@ def _eval_touch(problem, grp, gdata, tips, qa, data):
     # world-space surface points: (..., k, P, 3)
     world = tp[..., None, :] + quat_rotate(tq[..., None, :], gdata["points"])
     sd = jnp.sum((world - gdata["position"][..., None, :]) * gdata["normal"][..., None, :], axis=-1)
-    d = jnp.min(sd, axis=-1)  # deepest point along the plane normal
+    # per-point support radius: a point with radius r stands for a
+    # sphere, whose deepest extent along the plane normal is its
+    # center's signed distance minus r (exact sphere support)
+    d = jnp.min(sd - gdata["radii"], axis=-1)
     return d * d
 
 

@@ -283,6 +283,27 @@ class RobotModel:
         vertices does).  Shape origins and mesh scales are applied.
         Raises if the link has no collision geometry.
         """
+        pts, _ = self._collision_pointsets(link_name, ring, sphere_points,
+                                           sphere_as_center=False)
+        return pts
+
+    def collision_support(self, link_name: str, ring: int = 16
+                          ) -> "tuple[np.ndarray, np.ndarray]":
+        """``(points (N,3), radii (N,))`` support set with per-point
+        radii: the shape's support along any direction ``d`` is
+        ``max_i(points_i·d + radii_i)``.  Spheres contribute ONE center
+        point with ``radius=r`` — EXACT support (the reference's FCL
+        sphere support, goal_types.cpp:45-228) instead of
+        ``collision_points``'s surface sampling; boxes/meshes keep their
+        exact vertex sets (radius 0); cylinders remain two chordal end
+        rings (their direction-dependent support has no per-point-radius
+        form — ``ring=16`` bounds the error at ``r·(1−cos(π/16)) ≈
+        0.019·r``).  This is what the TouchGoal evaluator consumes."""
+        return self._collision_pointsets(link_name, ring, 0,
+                                         sphere_as_center=True)
+
+    def _collision_pointsets(self, link_name, ring, sphere_points,
+                             sphere_as_center):
         shapes = self.collisions.get(link_name)
         if not shapes:
             raise ValueError(
@@ -290,7 +311,9 @@ class RobotModel:
                 "in the URDF (TouchGoal needs explicit `points` for it)"
             )
         out = []
+        radii = []
         for s in shapes:
+            rad = 0.0
             if s.shape == "box":
                 sx, sy, sz = (d / 2.0 for d in s.size)
                 pts = np.array([(x, y, z)
@@ -307,14 +330,18 @@ class RobotModel:
                 ])
             elif s.shape == "sphere":
                 (r,) = s.size
-                i = np.arange(sphere_points, dtype=np.float64) + 0.5
-                phi = np.arccos(1.0 - 2.0 * i / sphere_points)
-                theta = np.pi * (1.0 + 5.0 ** 0.5) * i
-                pts = r * np.stack([
-                    np.cos(theta) * np.sin(phi),
-                    np.sin(theta) * np.sin(phi),
-                    np.cos(phi),
-                ], axis=-1)
+                if sphere_as_center:
+                    pts = np.zeros((1, 3))
+                    rad = r
+                else:
+                    i = np.arange(sphere_points, dtype=np.float64) + 0.5
+                    phi = np.arccos(1.0 - 2.0 * i / sphere_points)
+                    theta = np.pi * (1.0 + 5.0 ** 0.5) * i
+                    pts = r * np.stack([
+                        np.cos(theta) * np.sin(phi),
+                        np.sin(theta) * np.sin(phi),
+                        np.cos(phi),
+                    ], axis=-1)
             elif s.shape == "mesh":
                 from .mesh import convex_hull_vertices, load_stl
 
@@ -330,7 +357,8 @@ class RobotModel:
                 [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
             ])
             out.append(pts @ R.T + np.asarray(s.origin_xyz))
-        return np.concatenate(out, axis=0)
+            radii.append(np.full(len(pts), rad))
+        return np.concatenate(out, axis=0), np.concatenate(radii, axis=0)
 
     def ancestors(self, link_idx: int) -> List[int]:
         """Root→link chain of link indices (inclusive)."""

@@ -218,6 +218,45 @@ def test_touch_goal_mesh_solves(arm, rng):
     assert abs(np.min(sd)) < 5e-3, (np.min(sd), bool(res.success))
 
 
+SPHERE_URDF = """
+<robot name="sph">
+  <link name="base"/>
+  <link name="tool">
+    <collision><origin xyz="0.02 0 0.05"/>
+      <geometry><sphere radius="0.07"/></geometry></collision>
+  </link>
+  <joint name="j1" type="revolute">
+    <parent link="base"/><child link="tool"/>
+    <origin xyz="0.3 0 0.1"/><axis xyz="0 1 0"/>
+    <limit lower="-2" upper="2" effort="1" velocity="1"/>
+  </joint>
+</robot>
+"""
+
+
+def test_touch_goal_sphere_exact_support(rng):
+    """A sphere collision enters the TouchGoal support set as one center
+    point with radius=r — the EXACT convex support (the reference's FCL
+    sphere support, goal_types.cpp:45-228), not a surface sampling:
+    fitness equals (signed_distance(center) − r)² in closed form."""
+    m = RobotModel.from_urdf_string(SPHERE_URDF)
+    pts, rad = m.collision_support("tool")
+    assert pts.shape == (1, 3) and rad.shape == (1,)
+    np.testing.assert_allclose(pts[0], [0.02, 0, 0.05])
+    np.testing.assert_allclose(rad, [0.07])
+
+    q = np.asarray([0.37], np.float32)
+    normal = np.array([0.0, 0.3, 1.0]) / np.linalg.norm([0.0, 0.3, 1.0])
+    plane_pos = np.array([0.0, 0.0, -0.2])
+    f, _, _, _ = eval_fitness(
+        m, [G.TouchGoal(link="tool", position=tuple(plane_pos),
+                        normal=tuple(normal))], q)
+    pos, rot = tip_pose(m, q, link="tool")
+    center = pos + rot.apply(pts[0])
+    want = ((center - plane_pos).dot(normal) - 0.07) ** 2
+    np.testing.assert_allclose(f, want, rtol=1e-4, atol=1e-8)
+
+
 def test_touch_goal(arm, rng):
     q = random_q(arm, rng)
     pos, rot = tip_pose(arm, q)
