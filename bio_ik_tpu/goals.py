@@ -148,7 +148,7 @@ class TouchGoal(Goal):
     edge-walk hill climb).
 
     ``points`` empty (the default) derives the cloud from the link's URDF
-    collision primitives (``RobotModel.collision_points``), matching the
+    collision geometry (``RobotModel.collision_support``), matching the
     reference's automatic collision-geometry derivation; a non-empty
     tuple supplies the surface explicitly (e.g. for mesh links)."""
 
