@@ -131,3 +131,22 @@ def test_collision_geometry_parsing_and_points():
     # link without collision geometry raises
     with pytest.raises(ValueError, match="no collision geometry"):
         m.collision_points("base")
+
+
+def test_collision_support_mixed_shapes():
+    """collision_support: spheres collapse to one center point with
+    radius=r (exact support), boxes/cylinders keep radius 0 — mixed
+    shapes concatenate points and radii consistently."""
+    m = RobotModel.from_urdf_string(COLLISION_URDF)
+    pts, rad = m.collision_support("tool", ring=16)
+    assert pts.shape == (8 + 32 + 1, 3) and rad.shape == (8 + 32 + 1,)
+    np.testing.assert_allclose(rad[:40], 0.0)
+    np.testing.assert_allclose(pts[-1], [0.0, 0.0, 0.5])
+    np.testing.assert_allclose(rad[-1], 0.1)
+    # deepest extent along -z (the evaluator's min(sd - radius)): the
+    # sphere contributes center_z - r = 0.5 - 0.1 = 0.4 exactly, and the
+    # cylinder rims reach z = -0.15
+    n = np.array([0.0, 0.0, 1.0])
+    sd = pts @ n - rad
+    assert np.isclose(sd[-1], 0.4)
+    assert np.isclose(sd[8:40].min(), -0.15)
