@@ -116,13 +116,20 @@ def main():
         "ur5_pose", "ur5.urdf", ["tool0"],
         [G.PoseGoal(link="tool0")],
         SolverConfig(mode="bio2_memetic", dtwist=1e-3), 1e-3,
+        phases=((1, 8), (2, 32), (4, 64), (8, 64)),
+        fractions=(0.75, 0.25, 0.02),
     )
+    # 17-DOF dual-arm at 1 mm/1 mrad on BOTH tips: the hardest ladder —
+    # a 32-step first pass solves only 51 %, so the first pass runs 64
+    # steps and the escalations carry wide fractions (r5 honest sweep)
     run_config(
         "pr2_dual_pose2", "pr2_dual.urdf",
         ["r_gripper_tool_frame", "l_gripper_tool_frame"],
         [G.PoseGoal(link="r_gripper_tool_frame"),
          G.PoseGoal(link="l_gripper_tool_frame")],
         SolverConfig(mode="bio2_memetic", dtwist=1e-3), 1e-3,
+        phases=((1, 64), (2, 64), (4, 128), (8, 128)),
+        fractions=(0.25, 0.08, 0.03),
     )
     # BASELINE.json config 4: 30+ DOF approximate convergence — the
     # fused fullstep tier handles high-DOF chains (measured 13.5× the
@@ -198,6 +205,8 @@ def main():
          G.MinimalDisplacementGoal(weight=0.05),
          G.AvoidJointLimitsGoal(weight=0.05)],
         SolverConfig(mode="bio2_memetic", dtwist=1e-3), 1e-3,
+        phases=((1, 32), (2, 64), (4, 128), (8, 256)),
+        fractions=(0.3, 0.1, 0.03),
     )
     # BASELINE.json config 3: weighted multi-goal dual-arm — PoseGoal +
     # LookAtGoal primaries with MinimalDisplacement + AvoidJointLimits
@@ -215,7 +224,8 @@ def main():
         SolverConfig(mode="bio2_memetic", dpos=1e-2, drot=float("inf"),
                      dtwist=float("inf")),
         1e-2, batch=min(B, 1024),
-        phases=((1, 16), (2, 16), (4, 48)), fractions=(0.4, 0.15),
+        phases=((1, 32), (2, 32), (4, 64), (8, 128)),
+        fractions=(0.3, 0.1, 0.04),
     )
 
 
